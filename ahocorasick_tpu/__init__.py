@@ -1,0 +1,55 @@
+"""ahocorasick_tpu — a TPU-native multi-pattern string search framework.
+
+A from-scratch re-design of the capabilities of the `aho-corasick` crate
+(BurntSushi/aho-corasick v1.1.3) for TPU hardware with JAX/XLA/Pallas:
+
+  - Host-side trie + BFS failure-link construction compiles pattern sets
+    into flat int32 automaton tables (automata/).
+  - The byte-at-a-time DFA walk is re-cast as a lane-parallel blocked scan
+    on the device: thousands of independent walks with halo overlap,
+    one vectorized table gather per step (ops/block_scan.py).
+  - Standard / leftmost-first / leftmost-longest semantics, overlapping
+    search, anchored search, ASCII case folding, replacement and stream
+    search/replace all reproduce the reference's (pattern, start, end)
+    output exactly (semantics.py, oracle.py).
+  - A packed SIMD-style sub-engine (Teddy re-imagined as one-hot matmuls
+    on the MXU) lives in packed/ and data-parallel multi-chip sharding in
+    parallel/.
+
+Quick start::
+
+    from ahocorasick_tpu import AhoCorasick
+    ac = AhoCorasick(["apple", "maple", "Snapple"])
+    for m in ac.find_iter("Nobody likes maple in their apple flavored Snapple."):
+        print(m.pattern, m.start, m.end)
+"""
+
+from .ahocorasick import AhoCorasick, AhoCorasickBuilder, AhoCorasickKind
+from .oracle import OverlappingState
+from .utils.errors import BuildError, MatchError
+from .utils.search import (
+    Anchored,
+    Input,
+    Match,
+    MatchKind,
+    Span,
+    StartKind,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AhoCorasick",
+    "AhoCorasickBuilder",
+    "AhoCorasickKind",
+    "Anchored",
+    "BuildError",
+    "Input",
+    "Match",
+    "MatchError",
+    "MatchKind",
+    "OverlappingState",
+    "Span",
+    "StartKind",
+    "__version__",
+]

@@ -1,0 +1,490 @@
+"""The public facade: `AhoCorasick` + `AhoCorasickBuilder`.
+
+API parity with the reference facade (/root/reference/src/ahocorasick.rs):
+construction with match-kind / start-kind / case-insensitivity / kind /
+prefilter / dense-depth / byte-classes knobs, automatic backend selection,
+search (find / find_iter / find_overlapping_iter / is_match), replacement
+(replace_all family) and stream search/replace — with `try_*` fallible
+variants raising `MatchError` for unsupported configurations
+(ahocorasick.rs:2778-2789 enforce_anchored_consistency;
+automaton.rs:404-408 overlapping requires standard semantics;
+automaton.rs:1087-1103 stream requires standard semantics and no empty
+patterns).
+
+TPU-native architecture (not a port):
+
+  - One host-side construction path (automata/noncontiguous.py) builds the
+    automaton; a dense DFA table (automata/dfa.py) is compiled from it and
+    uploaded to the device.
+  - Unanchored searches run the blocked parallel scan on the TPU
+    (ops/block_scan.py) producing per-position states; all match semantics
+    are O(#matches) post-filters (semantics.py).
+  - Anchored searches and the leftmost+empty-pattern corner run the host
+    oracle (oracle.py) — anchored walks are bounded by max_pattern_len
+    transitions, so this is O(max_pattern_len) per search, not O(n).
+
+Backend `kind` selection mirrors ahocorasick.rs:2213-2261 for reporting
+purposes; in this framework every kind currently executes through the same
+dense device table (a compressed contiguous representation is planned),
+so the knob primarily controls the reported kind and memory accounting.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+
+from . import oracle, semantics
+from .automata.dfa import DenseDFA, build_dfa
+from .automata.noncontiguous import NFA, compile_nfa, patterns_to_bytes
+from .ops.block_scan import DeviceAutomaton
+from .utils.errors import BuildError, MatchError
+from .utils.search import (
+    Anchored,
+    BytesLike,
+    Input,
+    Match,
+    MatchKind,
+    StartKind,
+    as_bytes,
+    to_input,
+)
+
+
+class AhoCorasickKind(enum.Enum):
+    """Automaton backend kinds (ahocorasick.rs:2627)."""
+
+    NONCONTIGUOUS_NFA = "noncontiguous-nfa"
+    CONTIGUOUS_NFA = "contiguous-nfa"
+    DFA = "dfa"
+
+
+class AhoCorasick:
+    """A multi-pattern searcher backed by TPU-resident automaton tables."""
+
+    def __init__(self, patterns: Iterable, **builder_kwargs):
+        """Build with default configuration; see `AhoCorasickBuilder`."""
+        built = AhoCorasickBuilder(**builder_kwargs).build(patterns)
+        self.__dict__.update(built.__dict__)
+
+    @classmethod
+    def builder(cls) -> "AhoCorasickBuilder":
+        return AhoCorasickBuilder()
+
+    @classmethod
+    def _from_builder(
+        cls,
+        builder: "AhoCorasickBuilder",
+        patterns: List[bytes],
+    ) -> "AhoCorasick":
+        self = object.__new__(cls)
+        self._patterns = patterns
+        self._match_kind = builder._match_kind
+        self._start_kind = builder._start_kind
+        self._case_insensitive = builder._ascii_case_insensitive
+        self._prefilter_enabled = builder._prefilter
+        self._byte_classes = builder._byte_classes
+        self._engine_mode = builder._engine
+        self._device_threshold = builder._device_threshold
+
+        # The "real" automaton with the configured match kind: drives the
+        # oracle paths and introspection/memory accounting.
+        self._nfa = compile_nfa(
+            patterns,
+            match_kind=self._match_kind,
+            ascii_case_insensitive=self._case_insensitive,
+        )
+        # The standard-kind automaton provides the full (suffix-closed)
+        # match set for the device engine; identical to _nfa when the
+        # configured kind is standard.
+        if self._match_kind.is_standard():
+            self._match_nfa = self._nfa
+        else:
+            self._match_nfa = compile_nfa(
+                patterns,
+                match_kind=MatchKind.STANDARD,
+                ascii_case_insensitive=self._case_insensitive,
+            )
+        if not builder._byte_classes:
+            # Identity byte classes (parity knob; grows the device table).
+            for nfa in {id(self._nfa): self._nfa,
+                        id(self._match_nfa): self._match_nfa}.values():
+                nfa.classes = np.arange(256, dtype=np.uint8)
+                nfa.alphabet_len = 256
+
+        self._dfa = build_dfa(self._match_nfa)
+        self._device: Optional[DeviceAutomaton] = None
+
+        self._has_empty = bool(
+            len(self._nfa.pattern_lens)
+            and int(self._nfa.pattern_lens.min()) == 0
+        )
+
+        # Backend kind reporting (ahocorasick.rs:2213-2261).
+        if builder._kind is not None:
+            self._kind = builder._kind
+        elif (
+            len(patterns) <= 100
+            and self._start_kind is not StartKind.BOTH
+        ):
+            self._kind = AhoCorasickKind.DFA
+        else:
+            self._kind = AhoCorasickKind.CONTIGUOUS_NFA
+        return self
+
+    # ------------------------------------------------------------------
+    # Introspection (ahocorasick.rs:1846-2024)
+    # ------------------------------------------------------------------
+    def kind(self) -> AhoCorasickKind:
+        return self._kind
+
+    def start_kind(self) -> StartKind:
+        return self._start_kind
+
+    def match_kind(self) -> MatchKind:
+        return self._match_kind
+
+    def min_pattern_len(self) -> int:
+        return self._nfa.min_pattern_len
+
+    def max_pattern_len(self) -> int:
+        return self._nfa.max_pattern_len
+
+    def patterns_len(self) -> int:
+        return len(self._patterns)
+
+    def memory_usage(self) -> int:
+        total = self._nfa.memory_usage()
+        if self._match_nfa is not self._nfa:
+            total += self._match_nfa.memory_usage()
+        total += self._dfa.memory_usage()
+        return total
+
+    # ------------------------------------------------------------------
+    # Internals
+    # ------------------------------------------------------------------
+    def _device_automaton(self) -> DeviceAutomaton:
+        if self._device is None:
+            self._device = DeviceAutomaton(self._dfa)
+        return self._device
+
+    def _check_anchored(self, input: Input) -> None:
+        """enforce_anchored_consistency (ahocorasick.rs:2778-2789)."""
+        if input.anchored.is_anchored():
+            if self._start_kind is StartKind.UNANCHORED:
+                raise MatchError.invalid_input_anchored()
+        else:
+            if self._start_kind is StartKind.ANCHORED:
+                raise MatchError.invalid_input_unanchored()
+
+    def _use_oracle(self, input: Input) -> bool:
+        # Anchored walks are bounded by max_pattern_len transitions and are
+        # architecturally host-side (the filter engine is unanchored-only),
+        # regardless of the engine-forcing mode.
+        if input.anchored.is_anchored():
+            return True
+        # Leftmost + empty patterns is automaton-defined (see semantics.py).
+        if self._match_kind.is_leftmost() and self._has_empty:
+            return True
+        if self._engine_mode == "oracle":
+            return True
+        return False
+
+    def _match_set(self, input: Input) -> semantics.MatchSet:
+        """Full overlapping match set of input's span.
+
+        Uses the blocked device scan for large spans; below
+        `device_threshold` a host scalar walk over the same dense table is
+        faster than a device dispatch.
+        """
+        hs = input.haystack[input.start:input.end]
+        if len(hs) < self._device_threshold:
+            from .ops.block_scan import scan_states_host
+
+            states = scan_states_host(self._dfa, hs)
+        else:
+            states = self._device_automaton().scan_states(hs)
+        return semantics.extract_match_set(self._dfa, states, input.start)
+
+    def _match_set_oracle(self, input: Input) -> semantics.MatchSet:
+        """Oracle-computed match set (tests / debugging)."""
+        hs = input.haystack[input.start:input.end]
+        triples = oracle.find_all_overlapping(self._match_nfa, hs)
+        if triples:
+            arr = np.asarray(triples, dtype=np.int64)
+            return semantics.MatchSet(
+                arr[:, 0], arr[:, 1], arr[:, 2], input.start
+            )
+        z = np.zeros(0, dtype=np.int64)
+        return semantics.MatchSet(z, z, z, input.start)
+
+    # ------------------------------------------------------------------
+    # Searching
+    # ------------------------------------------------------------------
+    def try_find(self, input) -> Optional[Match]:
+        input = to_input(input)
+        self._check_anchored(input)
+        if self._use_oracle(input):
+            return oracle.try_find_fwd(self._nfa, input)
+        ms = self._match_set(input)
+        earliest = self._match_kind.is_standard() or input.earliest
+        if earliest:
+            return semantics.earliest_match(ms, input.start)
+        for m in semantics.select_non_overlapping(
+            ms, self._match_kind, 0
+        ):
+            return m
+        return None
+
+    def find(self, input) -> Optional[Match]:
+        return self.try_find(input)
+
+    def is_match(self, input) -> bool:
+        input = to_input(input).set_earliest(True)
+        return self.try_find(input) is not None
+
+    def try_find_iter(self, input) -> Iterator[Match]:
+        input = to_input(input)
+        self._check_anchored(input)
+        if self._use_oracle(input):
+            yield from oracle.find_iter(self._nfa, input)
+            return
+        ms = self._match_set(input)
+        yield from semantics.select_non_overlapping(ms, self._match_kind, 0)
+
+    def find_iter(self, input) -> Iterator[Match]:
+        return self.try_find_iter(input)
+
+    def try_find_overlapping(
+        self, input, state: oracle.OverlappingState
+    ) -> None:
+        input = to_input(input)
+        self._check_anchored(input)
+        if not self._match_kind.is_standard():
+            raise MatchError.unsupported_overlapping(self._match_kind)
+        oracle.try_find_overlapping_fwd(self._match_nfa, input, state)
+
+    def find_overlapping(
+        self, input, state: oracle.OverlappingState
+    ) -> None:
+        self.try_find_overlapping(input, state)
+
+    def try_find_overlapping_iter(self, input) -> Iterator[Match]:
+        input = to_input(input)
+        self._check_anchored(input)
+        if not self._match_kind.is_standard():
+            raise MatchError.unsupported_overlapping(self._match_kind)
+        if self._use_oracle(input):
+            yield from oracle.find_overlapping_iter(self._match_nfa, input)
+            return
+        ms = self._match_set(input)
+        yield from semantics.overlapping_iter(ms)
+
+    def find_overlapping_iter(self, input) -> Iterator[Match]:
+        return self.try_find_overlapping_iter(input)
+
+    def count_matches(self, input) -> int:
+        """Total number of overlapping matches, reduced on device.
+
+        (TPU-native extension: the common "how many hits" query without
+        materializing triples on the host.)
+        """
+        input = to_input(input)
+        self._check_anchored(input)
+        if not self._match_kind.is_standard():
+            raise MatchError.unsupported_overlapping(self._match_kind)
+        hs = input.haystack[input.start:input.end]
+        return self._device_automaton().count_matches(hs)
+
+    # ------------------------------------------------------------------
+    # Replacing (ahocorasick.rs:651-906)
+    # ------------------------------------------------------------------
+    def try_replace_all(self, haystack: str, replace_with: Sequence[str]) -> str:
+        if len(replace_with) != self.patterns_len():
+            raise ValueError(
+                f"replace_all requires a replacement for every pattern"
+                f" ({self.patterns_len()}), got {len(replace_with)}"
+            )
+        out = self.try_replace_all_bytes(
+            haystack.encode("utf-8"),
+            [r.encode("utf-8") for r in replace_with],
+        )
+        return out.decode("utf-8")
+
+    def replace_all(self, haystack: str, replace_with: Sequence[str]) -> str:
+        return self.try_replace_all(haystack, replace_with)
+
+    def try_replace_all_bytes(
+        self, haystack: bytes, replace_with: Sequence[bytes]
+    ) -> bytes:
+        if len(replace_with) != self.patterns_len():
+            raise ValueError(
+                f"replace_all requires a replacement for every pattern"
+                f" ({self.patterns_len()}), got {len(replace_with)}"
+            )
+        pieces = []
+        last = 0
+        for m in self.try_find_iter(Input(haystack)):
+            pieces.append(haystack[last:m.start])
+            pieces.append(replace_with[m.pattern])
+            last = m.end
+        pieces.append(haystack[last:])
+        return b"".join(pieces)
+
+    def replace_all_bytes(
+        self, haystack: bytes, replace_with: Sequence[bytes]
+    ) -> bytes:
+        return self.try_replace_all_bytes(haystack, replace_with)
+
+    def try_replace_all_with(
+        self,
+        haystack: str,
+        replacer: Callable[[Match, str], Optional[str]],
+    ) -> str:
+        """Callback-based replacement (ahocorasick.rs:765-834).
+
+        The callback receives (match, matched_text) and returns the
+        replacement text, or None to stop replacing (the remainder is
+        copied verbatim — the analog of the reference callback returning
+        false).
+        """
+        data = haystack.encode("utf-8")
+
+        def rb(m: Match, s: bytes) -> Optional[bytes]:
+            r = replacer(m, s.decode("utf-8"))
+            return None if r is None else r.encode("utf-8")
+
+        return self.try_replace_all_with_bytes(data, rb).decode("utf-8")
+
+    def replace_all_with(self, haystack, replacer):
+        return self.try_replace_all_with(haystack, replacer)
+
+    def try_replace_all_with_bytes(
+        self,
+        haystack: bytes,
+        replacer: Callable[[Match, bytes], Optional[bytes]],
+    ) -> bytes:
+        pieces = []
+        last = 0
+        for m in self.try_find_iter(Input(haystack)):
+            rep = replacer(m, haystack[m.start:m.end])
+            if rep is None:
+                break
+            pieces.append(haystack[last:m.start])
+            pieces.append(rep)
+            last = m.end
+        pieces.append(haystack[last:])
+        return b"".join(pieces)
+
+    def replace_all_with_bytes(self, haystack, replacer):
+        return self.try_replace_all_with_bytes(haystack, replacer)
+
+    # ------------------------------------------------------------------
+    # Streaming (ahocorasick.rs:906-1865); implemented in stream.py
+    # ------------------------------------------------------------------
+    def try_stream_find_iter(self, reader) -> Iterator[Match]:
+        from .stream import stream_find_iter
+
+        return stream_find_iter(self, reader)
+
+    def stream_find_iter(self, reader) -> Iterator[Match]:
+        return self.try_stream_find_iter(reader)
+
+    def try_stream_replace_all(
+        self, reader, writer, replace_with: Sequence[bytes]
+    ) -> None:
+        from .stream import stream_replace_all
+
+        stream_replace_all(self, reader, writer, replace_with)
+
+    def try_stream_replace_all_with(
+        self,
+        reader,
+        writer,
+        replacer: Callable[[Match, bytes], Optional[bytes]],
+    ) -> None:
+        from .stream import stream_replace_all_with
+
+        stream_replace_all_with(self, reader, writer, replacer)
+
+    def __repr__(self) -> str:
+        return (
+            f"AhoCorasick(patterns={self.patterns_len()},"
+            f" kind={self._kind.value}, match_kind={self._match_kind.value},"
+            f" start_kind={self._start_kind.value},"
+            f" states={self._nfa.num_states})"
+        )
+
+
+class AhoCorasickBuilder:
+    """Builder mirroring ahocorasick.rs:2134-2617."""
+
+    def __init__(
+        self,
+        *,
+        match_kind: MatchKind = MatchKind.STANDARD,
+        start_kind: StartKind = StartKind.UNANCHORED,
+        ascii_case_insensitive: bool = False,
+        kind: Optional[AhoCorasickKind] = None,
+        prefilter: bool = True,
+        dense_depth: int = 3,
+        byte_classes: bool = True,
+        engine: str = "auto",
+        device_threshold: int = 2048,
+    ):
+        self._match_kind = match_kind
+        self._start_kind = start_kind
+        self._ascii_case_insensitive = ascii_case_insensitive
+        self._kind = kind
+        self._prefilter = prefilter
+        self._dense_depth = dense_depth
+        self._byte_classes = byte_classes
+        self._engine = engine
+        self._device_threshold = device_threshold
+
+    # Fluent setters (reference-style names).
+    def match_kind(self, kind: MatchKind) -> "AhoCorasickBuilder":
+        self._match_kind = kind
+        return self
+
+    def start_kind(self, kind: StartKind) -> "AhoCorasickBuilder":
+        self._start_kind = kind
+        return self
+
+    def ascii_case_insensitive(self, yes: bool) -> "AhoCorasickBuilder":
+        self._ascii_case_insensitive = yes
+        return self
+
+    def kind(self, kind: Optional[AhoCorasickKind]) -> "AhoCorasickBuilder":
+        self._kind = kind
+        return self
+
+    def prefilter(self, yes: bool) -> "AhoCorasickBuilder":
+        self._prefilter = yes
+        return self
+
+    def dense_depth(self, depth: int) -> "AhoCorasickBuilder":
+        self._dense_depth = depth
+        return self
+
+    def byte_classes(self, yes: bool) -> "AhoCorasickBuilder":
+        self._byte_classes = yes
+        return self
+
+    def device_threshold(self, n: int) -> "AhoCorasickBuilder":
+        """TPU extension: haystacks shorter than this scan on the host."""
+        self._device_threshold = n
+        return self
+
+    def engine(self, mode: str) -> "AhoCorasickBuilder":
+        """TPU extension: force 'device-only', 'oracle', or 'auto'."""
+        if mode not in ("auto", "oracle", "device-only"):
+            raise ValueError(f"unknown engine mode {mode!r}")
+        self._engine = mode
+        return self
+
+    def build(self, patterns: Iterable) -> AhoCorasick:
+        pats = patterns_to_bytes(patterns)
+        return AhoCorasick._from_builder(self, pats)
