@@ -204,9 +204,14 @@ class AhoCorasick:
             from .ops.block_scan import scan_states_host
 
             states = scan_states_host(self._dfa, hs)
-        else:
-            states = self._device_automaton().scan_states(hs)
-        return semantics.extract_match_set(self._dfa, states, input.start)
+            return semantics.extract_match_set(
+                self._dfa, states, input.start
+            )
+        # Device path: only compacted (end, state) pairs cross the link.
+        ends, sids = self._device_automaton().match_positions(hs)
+        return semantics.extract_match_set_from_positions(
+            self._dfa, ends, sids, input.start
+        )
 
     def _match_set_oracle(self, input: Input) -> semantics.MatchSet:
         """Oracle-computed match set (tests / debugging)."""

@@ -45,26 +45,26 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _size_bucket(n: int) -> int:
-    """Bucket haystack lengths to bound jit recompiles: next power of two
-    or 1.5x a power of two, minimum 4 KiB."""
+    """Bucket haystack lengths to bound jit recompiles: next power of two,
+    minimum 4 KiB. (Power-of-two padding keeps block/lane splits exact.)"""
     n = max(n, 4096)
-    p = 1 << (n - 1).bit_length()
-    if p * 3 // 4 >= n:
-        return p * 3 // 4
-    return p
+    return 1 << (n - 1).bit_length()
 
 
 def choose_block_len(n: int, halo: int) -> int:
-    """Pick the serial block length L.
+    """Pick the serial block length L for an n-byte (power-of-two) buffer.
 
-    Aim for >= 2048 lanes (good VPU occupancy) while keeping the halo
-    overhead (D/L) small and the serial depth reasonable.
+    The lane count B = n / L must be a power of two and ideally a
+    multiple of 1024 (8 sublanes x 128 lanes of int32): misaligned lane
+    counts measured ~100x slower on v5e. Among aligned options, prefer
+    more lanes (smaller L) until the halo overhead (halo/L) passes ~12%.
     """
-    target_lanes = 4096
-    l = max(128, _round_up(n // target_lanes + 1, 128))
-    # Keep halo overhead below ~25% when possible.
-    l = max(l, _round_up(4 * halo, 128))
-    return l
+    n = _size_bucket(n)
+    lanes = 1024
+    while lanes * 2 <= n // 128 and n // (lanes * 2) >= 8 * halo:
+        lanes *= 2
+    lanes = min(lanes, 8192)
+    return max(n // lanes, 128)
 
 
 def scan_states_host(dfa: DenseDFA, haystack: bytes) -> np.ndarray:
@@ -113,6 +113,56 @@ class DeviceAutomaton:
         self.match_count = jnp.asarray(np.pad(mc, (0, pad)) if pad else mc)
 
     # ------------------------------------------------------------------
+    def _prepare(self, haystack: bytes):
+        """Pad the haystack into a bucketed device buffer; returns
+        (buf, n, block_len, halo)."""
+        n = len(haystack)
+        padded = _size_bucket(n)
+        halo = min(self.halo, padded)
+        block_len = choose_block_len(padded, halo)
+        padded = _round_up(padded, block_len)
+        buf = np.zeros(padded, dtype=np.uint8)
+        buf[:n] = np.frombuffer(haystack, dtype=np.uint8)
+        return buf, n, block_len, halo
+
+    def match_positions(self, haystack: bytes):
+        """Compacted match positions: (ends, state_ids) as host arrays.
+
+        Runs the blocked scan on device, reduces to the number of
+        match-state positions, then compacts (position, state) pairs on
+        device so only O(#matches) data is transferred back — the full
+        per-position state array never leaves the device. ``ends`` are
+        1-based match end offsets (the start-state row at end 0 is the
+        caller's concern).
+        """
+        n = len(haystack)
+        if n == 0:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        buf, n, block_len, halo = self._prepare(haystack)
+        states = _scan_states_jit(
+            self.trans_flat,
+            self.classes,
+            jnp.asarray(buf),
+            jnp.int32(self.alphabet_len),
+            jnp.int32(self.start_id),
+            block_len,
+            halo,
+        )  # device-resident [n_pad]
+        cnt = int(
+            _count_match_positions_jit(
+                states, jnp.int32(n), jnp.int32(self.max_match_id)
+            )
+        )
+        if cnt == 0:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        k = 1 << max(int(cnt - 1).bit_length(), 6)
+        pos, sids = _compact_matches_jit(
+            states, jnp.int32(n), jnp.int32(self.max_match_id), k
+        )
+        pos = np.asarray(pos)[:cnt].astype(np.int64)
+        sids = np.asarray(sids)[:cnt].astype(np.int64)
+        return pos + 1, sids
+
     def scan_states(self, haystack: bytes) -> np.ndarray:
         """Per-position automaton states for an unanchored scan.
 
@@ -193,14 +243,25 @@ def _scan_states_jit(
     c = classes[haystack.astype(jnp.int32)]  # [n] int32
     n = c.shape[0]
     num_blocks = n // block_len
-    # Window per block: [block_start - halo, block_start + block_len).
-    # Gather the halo'd windows as [halo + block_len, num_blocks] so the
-    # scan axis is leading.
-    starts = jnp.arange(num_blocks, dtype=jnp.int32) * block_len  # [B]
-    offs = jnp.arange(-halo, block_len, dtype=jnp.int32)  # [halo+L]
-    idx = starts[None, :] + offs[:, None]  # [halo+L, B]
-    valid = idx >= 0
-    cw = jnp.take(c, jnp.clip(idx, 0, n - 1))  # [halo+L, B]
+    # Windows [halo + L, B] built from pure layout ops (reshape /
+    # transpose / roll) — an arbitrary-index gather of the same windows
+    # compiled and ran orders of magnitude slower on TPU.
+    body = c.reshape(num_blocks, block_len).T  # [L, B]
+    if halo:
+        # halo rows: block b, step t<halo reads c[b*L - halo + t]; that is
+        # roll(c, halo) reshaped, first `halo` columns of each row. Block
+        # 0's halo (wrapped bytes) is masked via `valid`.
+        halo_part = jnp.roll(c, halo).reshape(num_blocks, block_len)
+        halo_part = halo_part[:, :halo].T  # [halo, B]
+        cw = jnp.concatenate([halo_part, body], axis=0)
+        first_block = (
+            jnp.arange(num_blocks, dtype=jnp.int32) == 0
+        )  # [B]
+        offs = jnp.arange(-halo, block_len, dtype=jnp.int32)
+        valid = ~((offs < 0)[:, None] & first_block[None, :])
+    else:
+        cw = body
+        valid = jnp.ones(cw.shape, dtype=bool)
 
     def step(s, xs):
         cl, ok = xs
@@ -238,7 +299,14 @@ def _count_matches_jit(
     # Only a block's own positions (not its halo, which belongs to the
     # previous block) and only real (non-padding) positions contribute.
     counted = (offs >= 0)[:, None] & (idx < n)
-    cw = jnp.take(c, jnp.clip(idx, 0, n_pad - 1))
+    # Layout-op window construction (see _scan_states_jit).
+    body = c.reshape(num_blocks, block_len).T
+    if halo:
+        halo_part = jnp.roll(c, halo).reshape(num_blocks, block_len)
+        halo_part = halo_part[:, :halo].T
+        cw = jnp.concatenate([halo_part, body], axis=0)
+    else:
+        cw = body
 
     def step(carry, xs):
         s, acc = carry
@@ -251,4 +319,24 @@ def _count_matches_jit(
     s0 = jnp.full((num_blocks,), start_id, dtype=jnp.int32)
     acc0 = jnp.zeros((num_blocks,), dtype=jnp.int32)
     (sf, acc), _ = lax.scan(step, (s0, acc0), (cw, valid, counted))
-    return jnp.sum(acc.astype(jnp.int64))
+    # int32 total: callers chunk haystacks well below 2^31 matches per call.
+    return jnp.sum(acc)
+
+
+@jax.jit
+def _count_match_positions_jit(
+    states: jax.Array, n: jax.Array, max_match_id: jax.Array
+) -> jax.Array:
+    idx = jnp.arange(states.shape[0], dtype=jnp.int32)
+    mask = (states >= 2) & (states <= max_match_id) & (idx < n)
+    return jnp.sum(mask.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _compact_matches_jit(
+    states: jax.Array, n: jax.Array, max_match_id: jax.Array, k: int
+):
+    idx = jnp.arange(states.shape[0], dtype=jnp.int32)
+    mask = (states >= 2) & (states <= max_match_id) & (idx < n)
+    (pos,) = jnp.nonzero(mask, size=k, fill_value=0)
+    return pos.astype(jnp.int32), states[pos]

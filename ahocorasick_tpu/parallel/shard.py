@@ -1,0 +1,173 @@
+"""Multi-chip data-parallel search: shard_map over a device mesh.
+
+The reference is single-threaded; its stream decomposition (roll buffer
+carrying max_pattern_len bytes of overlap, util/buffer.rs:107-123) proves
+search state is carried across chunk boundaries. This module scales that
+decomposition across a TPU mesh:
+
+  - the haystack is sharded data-parallel with a ``halo`` byte overlap
+    (the suffix property makes per-position states exact once the walk has
+    consumed >= max_pattern_len bytes, see ops/block_scan.py),
+  - automaton tables are replicated to every device,
+  - per-shard match counts are reduced with ``psum`` over ICI,
+  - compacted per-shard match positions can be gathered for full triples.
+
+All collectives are XLA collectives inserted by shard_map sharding
+annotations — no explicit point-to-point communication is required
+because the halo bytes are materialized host-side into the sharded
+layout (each shard's leading halo duplicates its left neighbor's tail).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.block_scan import DeviceAutomaton, _round_up, choose_block_len
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), axis_names=("d",))
+
+
+def _shard_layout(n: int, ndev: int, halo: int) -> Tuple[int, int]:
+    """Per-device shard length (excluding halo), rounded for blocking."""
+    shard = _round_up(-(-n // ndev), 128)
+    return shard, halo
+
+
+def build_sharded_input(
+    haystack: bytes, ndev: int, halo: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Materialize the halo'd [ndev, halo + shard] byte layout plus the
+    per-shard count of valid (haystack) positions."""
+    n = len(haystack)
+    shard, halo = _shard_layout(max(n, 1), ndev, halo)
+    buf = np.frombuffer(haystack, dtype=np.uint8)
+    rows = np.zeros((ndev, halo + shard), dtype=np.uint8)
+    n_valid = np.zeros((ndev, 1), dtype=np.int32)
+    for i in range(ndev):
+        g0 = i * shard
+        lo = max(0, g0 - halo)
+        seg = buf[lo:g0 + shard]
+        rows[i, halo - (g0 - lo):halo - (g0 - lo) + len(seg)] = seg
+        n_valid[i, 0] = max(0, min(n - g0, shard))
+    return rows, n_valid, shard
+
+
+def count_kernel(
+    trans_flat: jax.Array,
+    classes: jax.Array,
+    match_count: jax.Array,
+    row: jax.Array,      # uint8 [halo + shard] (local shard w/ leading halo)
+    n_valid: jax.Array,  # int32 [1] — valid positions within the shard
+    alphabet_len: jax.Array,
+    start_id: jax.Array,
+    block_len: int,
+    halo: int,
+    axis_name=None,
+) -> jax.Array:
+    """Count matches ending inside this shard's own (non-halo) positions.
+
+    Same blocked-walk structure as ops/block_scan.py, applied to one
+    shard: the leading ``halo`` bytes warm up the automaton state but
+    their matches belong to the left neighbor.
+    """
+    c = classes[row.astype(jnp.int32)]
+    total = c.shape[0]
+    shard = total - halo
+    num_blocks = shard // block_len
+    starts = jnp.arange(num_blocks, dtype=jnp.int32) * block_len + halo
+    offs = jnp.arange(-halo, block_len, dtype=jnp.int32)
+    idx = starts[None, :] + offs[:, None]
+    cw = jnp.take(c, jnp.clip(idx, 0, total - 1))
+    # Positions in [halo, halo + n_valid) are countable.
+    counted = (offs >= 0)[:, None] & (idx < halo + n_valid[0])
+
+    def step(carry, xs):
+        s, acc = carry
+        cl, cnt_ok = xs
+        s2 = jnp.take(trans_flat, s * alphabet_len + cl).astype(jnp.int32)
+        acc = (
+            acc + jnp.where(cnt_ok, jnp.take(match_count, s2), 0)
+        ).astype(jnp.int32)
+        return (s2, acc), None
+
+    s0 = jnp.full((num_blocks,), start_id, dtype=jnp.int32)
+    acc0 = jnp.zeros((num_blocks,), dtype=jnp.int32)
+    if axis_name is not None:
+        # Inside shard_map the carry must be marked as varying over the
+        # mesh axis (it mixes with per-shard data on the first step).
+        s0 = lax.pvary(s0, (axis_name,))
+        acc0 = lax.pvary(acc0, (axis_name,))
+    (_, acc), _ = lax.scan(step, (s0, acc0), (cw, counted))
+    return jnp.sum(acc)
+
+
+def sharded_count_matches(
+    dev: DeviceAutomaton,
+    haystack: bytes,
+    mesh: Optional[Mesh] = None,
+) -> int:
+    """Total overlapping-match count, sharded across the mesh.
+
+    The per-device partial counts are psum-reduced on device; only one
+    scalar returns to the host.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.devices.size
+    halo = max(dev.halo, 0)
+    rows, n_valid, shard = build_sharded_input(haystack, ndev, halo)
+    block_len = choose_block_len(shard, halo)
+    # shard must be a multiple of block_len for the blocked walk.
+    if shard % block_len:
+        pad = _round_up(shard, block_len) - shard
+        rows = np.pad(rows, ((0, 0), (0, pad)))
+        shard += pad
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("d", None), P("d", None)),
+        out_specs=P(),
+    )
+    def run(trans_flat, classes, match_count, rows, n_valid):
+        cnt = count_kernel(
+            trans_flat,
+            classes,
+            match_count,
+            rows[0],
+            n_valid[0],
+            jnp.int32(dev.alphabet_len),
+            jnp.int32(dev.start_id),
+            block_len,
+            halo,
+            axis_name="d",
+        )
+        return lax.psum(cnt, "d")
+
+    total = jax.jit(run)(
+        dev.trans_flat,
+        dev.classes,
+        dev.match_count,
+        jax.device_put(rows, NamedSharding(mesh, P("d", None))),
+        jax.device_put(n_valid, NamedSharding(mesh, P("d", None))),
+    )
+    extra = 0
+    # Start-state matches at position 0 (empty pattern).
+    if 2 <= dev.start_id <= dev.max_match_id:
+        extra = int(
+            dev.dfa.match_starts[dev.start_id + 1]
+            - dev.dfa.match_starts[dev.start_id]
+        )
+    return int(total) + extra

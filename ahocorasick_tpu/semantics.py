@@ -81,19 +81,34 @@ def extract_match_set(
     end at ``i + 1``); position 0 is the start state, which contributes
     matches at end 0 when the empty pattern is present.
     """
-    n = len(states)
-    start_id = dfa.special.start_unanchored_id
-    sids = np.concatenate(
-        [np.full(1, start_id, dtype=np.int32), states.astype(np.int32)]
-    )
-    ends_all = np.arange(n + 1, dtype=np.int64)
+    sids = states.astype(np.int64)
     is_match = (sids >= 2) & (sids <= dfa.special.max_match_id)
     pos = np.flatnonzero(is_match)
-    if len(pos) == 0:
+    return extract_match_set_from_positions(
+        dfa, pos + 1, sids[pos], offset
+    )
+
+
+def extract_match_set_from_positions(
+    dfa: DenseDFA,
+    ends_m: np.ndarray,
+    sids_m: np.ndarray,
+    offset: int = 0,
+) -> MatchSet:
+    """Match set from pre-compacted (end, state) pairs (ends ascending,
+    1-based). Prepends the start-state row (end 0) when the start state
+    is a match state — i.e. when the empty pattern is present."""
+    start_id = dfa.special.start_unanchored_id
+    if 2 <= start_id <= dfa.special.max_match_id:
+        ends_m = np.concatenate([np.zeros(1, np.int64), ends_m])
+        sids_m = np.concatenate(
+            [np.full(1, start_id, np.int64), sids_m]
+        )
+    if len(ends_m) == 0:
         z = np.zeros(0, dtype=np.int64)
         return MatchSet(z, z, z, offset)
-    sids_m = sids[pos]
-    ends_m = ends_all[pos]
+    sids_m = sids_m.astype(np.int64)
+    ends_m = ends_m.astype(np.int64)
     offs = dfa.match_starts[sids_m].astype(np.int64)
     cnts = (dfa.match_starts[sids_m + 1] - dfa.match_starts[sids_m]).astype(
         np.int64

@@ -1,0 +1,58 @@
+"""Multi-device sharded search tests on the virtual 8-device CPU mesh."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from ahocorasick_tpu import AhoCorasick, Input, MatchKind
+from ahocorasick_tpu.parallel.shard import (
+    make_mesh,
+    sharded_count_matches,
+)
+
+
+def total_overlapping(ac, h):
+    return sum(1 for _ in ac.find_overlapping_iter(Input(h)))
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_sharded_count_matches_small(ndev):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+    random.seed(3)
+    pats = ["ab", "babc", "c", "ccc"]
+    h = "".join(random.choice("abc") for _ in range(5000)).encode()
+    ac = AhoCorasick(pats)
+    want = total_overlapping(ac, h)
+    mesh = make_mesh(ndev)
+    got = sharded_count_matches(ac._device_automaton(), h, mesh)
+    assert got == want
+
+
+def test_sharded_count_cross_shard_matches():
+    # Matches that span shard boundaries must be counted exactly once by
+    # the shard in which they END (halo warm-up).
+    pats = ["xyxyxyxy"]
+    n = 40000
+    h = bytearray(b"." * n)
+    ac = AhoCorasick(pats)
+    # Place matches straddling every shard boundary for an 8-way split.
+    shard = -(-n // 8)
+    for i in range(1, 8):
+        p = i * shard - 4
+        h[p:p + 8] = b"xyxyxyxy"
+    h = bytes(h)
+    want = total_overlapping(ac, h)
+    assert want >= 7
+    got = sharded_count_matches(ac._device_automaton(), h, make_mesh(8))
+    assert got == want
+
+
+def test_sharded_count_empty_and_tiny():
+    ac = AhoCorasick(["abc"])
+    assert sharded_count_matches(ac._device_automaton(), b"", make_mesh(8)) == 0
+    assert (
+        sharded_count_matches(ac._device_automaton(), b"abc", make_mesh(8))
+        == 1
+    )
