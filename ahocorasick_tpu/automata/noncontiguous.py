@@ -223,13 +223,64 @@ class NFA:
         return self.match_pids[self.match_starts[sid]:self.match_starts[sid + 1]]
 
 
+_KIND_IDX = {
+    MatchKind.STANDARD: 0,
+    MatchKind.LEFTMOST_FIRST: 1,
+    MatchKind.LEFTMOST_LONGEST: 2,
+}
+
+
 def compile_nfa(
     patterns: Sequence[bytes],
     *,
     match_kind: MatchKind = MatchKind.STANDARD,
     ascii_case_insensitive: bool = False,
+    builder: str = "auto",
 ) -> NFA:
-    """Build the automaton. See module docstring for the contract."""
+    """Build the automaton. See module docstring for the contract.
+
+    ``builder``: "auto" uses the native C++ builder (native/acbuild.cc)
+    when available, falling back to the pure-Python path; "python" and
+    "native" force one. Both produce bit-identical arrays.
+    """
+    if builder not in ("auto", "python", "native"):
+        raise ValueError(f"unknown builder {builder!r}")
+    if builder != "python":
+        from . import native as _native
+
+        out = (
+            _native.compile_native(
+                list(patterns), _KIND_IDX[match_kind], ascii_case_insensitive
+            )
+            if _native.available()
+            else None
+        )
+        if out is not None:
+            nfa = NFA()
+            nfa.match_kind = match_kind
+            nfa.ascii_case_insensitive = ascii_case_insensitive
+            nfa.pattern_lens = out["pattern_lens"]
+            nfa.min_pattern_len = out["min_pattern_len"]
+            nfa.max_pattern_len = out["max_pattern_len"]
+            nfa.num_states = out["num_states"]
+            nfa.fail = out["fail"]
+            nfa.depth = out["depth"]
+            nfa.match_starts = out["match_starts"]
+            nfa.match_pids = out["match_pids"]
+            nfa.trans_starts = out["trans_starts"]
+            nfa.trans_bytes = out["trans_bytes"]
+            nfa.trans_next = out["trans_next"]
+            nfa.classes = out["classes"]
+            nfa.alphabet_len = out["alphabet_len"]
+            nfa.special = Special(
+                out["max_match_id"],
+                out["start_unanchored_id"],
+                out["start_anchored_id"],
+            )
+            nfa.start_loop_open = out["start_loop_open"]
+            return nfa
+        if builder == "native":
+            raise RuntimeError("native builder unavailable")
     is_leftmost = match_kind.is_leftmost()
     is_leftmost_first = match_kind.is_leftmost_first()
 

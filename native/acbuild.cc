@@ -1,0 +1,380 @@
+// Native Aho-Corasick construction: trie + BFS failure fill.
+//
+// C++ twin of the Python builder in
+// ahocorasick_tpu/automata/noncontiguous.py — bit-for-bit identical
+// output arrays (same host-ID allocation order, same BFS byte-sorted
+// child order, same match-copy timing, same final ID remapping), so the
+// two builders are interchangeable and cross-checked in tests. This
+// plays the role of the reference's native construction path
+// (/root/reference/src/nfa/noncontiguous.rs, which builds 100k-pattern
+// automatons in ~240ms): pattern-set compilation is host-side, scalar,
+// and branchy — exactly what native code is for. The compiled tables are
+// then uploaded to the TPU by the Python layer.
+//
+// Exposed via a C ABI for ctypes (no pybind11 dependency).
+
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+constexpr int32_t HOST_DEAD = -1;
+constexpr int kMatchStandard = 0;
+constexpr int kMatchLeftmostFirst = 1;
+constexpr int kMatchLeftmostLongest = 2;
+
+inline uint8_t OppositeAsciiCase(uint8_t b) {
+  if (b >= 0x41 && b <= 0x5A) return b + 32;
+  if (b >= 0x61 && b <= 0x7A) return b - 32;
+  return b;
+}
+
+struct State {
+  // Byte-sorted edges (byte, next) — mirrors the reference's sorted
+  // transition lists (noncontiguous.rs:381-423).
+  std::vector<std::pair<uint8_t, int32_t>> edges;
+  std::vector<int32_t> matches;
+  int32_t fail = 0;
+  int32_t depth = 0;
+
+  int32_t Find(uint8_t b) const {
+    size_t lo = 0, hi = edges.size();
+    while (lo < hi) {
+      size_t mid = (lo + hi) / 2;
+      if (edges[mid].first < b)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    if (lo < edges.size() && edges[lo].first == b) return edges[lo].second;
+    return -1;
+  }
+  void Insert(uint8_t b, int32_t next) {
+    size_t lo = 0, hi = edges.size();
+    while (lo < hi) {
+      size_t mid = (lo + hi) / 2;
+      if (edges[mid].first < b)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    if (lo < edges.size() && edges[lo].first == b) {
+      edges[lo].second = next;
+    } else {
+      edges.insert(edges.begin() + lo, {b, next});
+    }
+  }
+};
+
+struct BuildResult {
+  int32_t num_states = 0;
+  int32_t alphabet_len = 0;
+  int32_t max_match_id = 0;
+  int32_t start_unanchored_id = 0;
+  int32_t start_anchored_id = 0;
+  int32_t start_loop_open = 1;
+  int32_t min_pattern_len = 0;
+  int32_t max_pattern_len = 0;
+  std::vector<int32_t> fail;
+  std::vector<int32_t> depth;
+  std::vector<int32_t> match_starts;
+  std::vector<int32_t> match_pids;
+  std::vector<int32_t> trans_starts;
+  std::vector<uint8_t> trans_bytes;
+  std::vector<int32_t> trans_next;
+  std::vector<uint8_t> classes;  // 256
+  std::vector<int32_t> pattern_lens;
+};
+
+BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
+                     int64_t n_patterns, int match_kind,
+                     int case_insensitive) {
+  const bool leftmost = match_kind != kMatchStandard;
+  const bool leftmost_first = match_kind == kMatchLeftmostFirst;
+
+  std::vector<State> st(1);  // 0 = root (unanchored start)
+  bool boundary[256] = {false};
+  bool any_boundary = false;
+  auto set_class_boundary = [&](uint8_t b) {
+    any_boundary = true;
+    if (b > 0) boundary[b - 1] = true;
+    boundary[b] = true;
+  };
+
+  auto* out = new BuildResult();
+  out->pattern_lens.resize(n_patterns);
+  int64_t min_len = INT32_MAX, max_len = 0;
+
+  // --- trie build (matches Python compile_nfa) ---------------------
+  for (int64_t pid = 0; pid < n_patterns; ++pid) {
+    const uint8_t* p = pat_bytes + pat_offsets[pid];
+    const int64_t plen = pat_offsets[pid + 1] - pat_offsets[pid];
+    out->pattern_lens[pid] = static_cast<int32_t>(plen);
+    if (plen < min_len) min_len = plen;
+    if (plen > max_len) max_len = plen;
+    int32_t prev = 0;
+    bool saw_match = false;
+    bool pruned = false;
+    for (int64_t d = 0; d < plen; ++d) {
+      uint8_t b = p[d];
+      saw_match = saw_match || !st[prev].matches.empty();
+      if (leftmost_first && saw_match) {
+        pruned = true;
+        break;
+      }
+      set_class_boundary(b);
+      if (case_insensitive) set_class_boundary(OppositeAsciiCase(b));
+      int32_t next = st[prev].Find(b);
+      if (next < 0) {
+        next = static_cast<int32_t>(st.size());
+        st.emplace_back();
+        st.back().depth = static_cast<int32_t>(d + 1);
+        st[prev].Insert(b, next);
+        if (case_insensitive) st[prev].Insert(OppositeAsciiCase(b), next);
+      }
+      prev = next;
+    }
+    if (!pruned) st[prev].matches.push_back(static_cast<int32_t>(pid));
+  }
+  if (n_patterns == 0) min_len = 0;
+  out->min_pattern_len = static_cast<int32_t>(min_len);
+  out->max_pattern_len = static_cast<int32_t>(max_len);
+
+  // --- byte classes ------------------------------------------------
+  out->classes.resize(256, 0);
+  if (any_boundary) {
+    uint8_t cls = 0;
+    for (int b = 0; b < 256; ++b) {
+      out->classes[b] = cls;
+      if (boundary[b] && b < 255) ++cls;
+    }
+    out->alphabet_len = out->classes[255] + 1;
+  } else {
+    out->alphabet_len = 1;
+  }
+
+  // --- BFS failure fill (matches Python compile_nfa) ---------------
+  const int64_t n_host = static_cast<int64_t>(st.size());
+  std::vector<int32_t> fail(n_host, 0);
+  std::deque<int32_t> queue;
+  std::unordered_set<int32_t> seen;
+  const bool use_seen = case_insensitive != 0;
+
+  auto follow_host = [&](int32_t sid, uint8_t b) -> int32_t {
+    int32_t next = st[sid].Find(b);
+    if (next >= 0) return next;
+    if (sid == 0) return 0;  // root self-loop
+    return -2;               // FAIL
+  };
+
+  for (const auto& e : st[0].edges) {  // byte-sorted
+    int32_t next = e.second;
+    if (next == 0 || (use_seen && seen.count(next))) continue;
+    queue.push_back(next);
+    if (use_seen) seen.insert(next);
+    if (leftmost && !st[next].matches.empty()) fail[next] = HOST_DEAD;
+  }
+  while (!queue.empty()) {
+    int32_t sid = queue.front();
+    queue.pop_front();
+    for (const auto& e : st[sid].edges) {
+      int32_t next = e.second;
+      uint8_t b = e.first;
+      if (use_seen && seen.count(next)) continue;
+      queue.push_back(next);
+      if (use_seen) seen.insert(next);
+      if (leftmost && !st[next].matches.empty()) {
+        fail[next] = HOST_DEAD;
+        continue;
+      }
+      int32_t f = fail[sid];
+      if (f == HOST_DEAD) {
+        fail[next] = HOST_DEAD;
+        continue;
+      }
+      int32_t nf;
+      while (true) {
+        nf = follow_host(f, b);
+        if (nf != -2) break;
+        f = fail[f];
+        if (f == HOST_DEAD) {
+          nf = HOST_DEAD;
+          break;
+        }
+      }
+      fail[next] = nf;
+      if (nf != HOST_DEAD) {
+        auto& dst = st[next].matches;
+        const auto& src = st[nf].matches;
+        dst.insert(dst.end(), src.begin(), src.end());
+      }
+    }
+    if (!leftmost) {
+      auto& dst = st[sid].matches;
+      const auto& src = st[0].matches;
+      dst.insert(dst.end(), src.begin(), src.end());
+    }
+  }
+
+  const bool root_is_match = !st[0].matches.empty();
+  out->start_loop_open = !(leftmost && root_is_match);
+
+  // --- final ID remapping (matches Python flatten) -----------------
+  std::vector<int32_t> remap(n_host, 0);
+  int32_t next_id = 2;
+  int32_t n_match_nonroot = 0;
+  for (int64_t s_i = 0; s_i < n_host; ++s_i) {
+    if (s_i != 0 && !st[s_i].matches.empty()) {
+      remap[s_i] = next_id++;
+      ++n_match_nonroot;
+    }
+  }
+  remap[0] = next_id;
+  const int32_t su = next_id, sa = next_id + 1;
+  next_id += 2;
+  out->max_match_id = root_is_match ? sa : 1 + n_match_nonroot;
+  for (int64_t s_i = 1; s_i < n_host; ++s_i) {
+    if (st[s_i].matches.empty()) remap[s_i] = next_id++;
+  }
+  const int32_t num_states = next_id;
+  out->num_states = num_states;
+  out->start_unanchored_id = su;
+  out->start_anchored_id = sa;
+
+  out->fail.assign(num_states, 0);
+  out->depth.assign(num_states, 0);
+  for (int64_t s_i = 0; s_i < n_host; ++s_i) {
+    int32_t f = fail[s_i];
+    out->fail[remap[s_i]] = (f == HOST_DEAD) ? 0 : remap[f];
+    out->depth[remap[s_i]] = st[s_i].depth;
+  }
+  out->fail[su] = out->start_loop_open ? su : 0;
+  out->fail[sa] = 0;
+
+  // match CSR (anchored start shares root's matches)
+  out->match_starts.assign(num_states + 1, 0);
+  for (int64_t s_i = 0; s_i < n_host; ++s_i)
+    out->match_starts[remap[s_i] + 1] =
+        static_cast<int32_t>(st[s_i].matches.size());
+  out->match_starts[sa + 1] = static_cast<int32_t>(st[0].matches.size());
+  for (int32_t i = 0; i < num_states; ++i)
+    out->match_starts[i + 1] += out->match_starts[i];
+  out->match_pids.assign(out->match_starts[num_states], 0);
+  for (int64_t s_i = 0; s_i < n_host; ++s_i) {
+    int32_t lo = out->match_starts[remap[s_i]];
+    for (size_t k = 0; k < st[s_i].matches.size(); ++k)
+      out->match_pids[lo + k] = st[s_i].matches[k];
+  }
+  {
+    int32_t lo = out->match_starts[sa];
+    for (size_t k = 0; k < st[0].matches.size(); ++k)
+      out->match_pids[lo + k] = st[0].matches[k];
+  }
+
+  // transition CSR: root materialized as a full 256-row with the
+  // self-loop (or DEAD-closed) entries; anchored start = root's trie
+  // edges only.
+  out->trans_starts.assign(num_states + 1, 0);
+  for (int64_t s_i = 0; s_i < n_host; ++s_i)
+    out->trans_starts[remap[s_i] + 1] =
+        (s_i == 0) ? 256 : static_cast<int32_t>(st[s_i].edges.size());
+  out->trans_starts[sa + 1] = static_cast<int32_t>(st[0].edges.size());
+  for (int32_t i = 0; i < num_states; ++i)
+    out->trans_starts[i + 1] += out->trans_starts[i];
+  const int64_t nnz = out->trans_starts[num_states];
+  out->trans_bytes.assign(nnz, 0);
+  out->trans_next.assign(nnz, 0);
+  for (int64_t s_i = 0; s_i < n_host; ++s_i) {
+    int32_t lo = out->trans_starts[remap[s_i]];
+    if (s_i == 0) {
+      const int32_t loop_target = out->start_loop_open ? su : 0;
+      int32_t row[256];
+      for (int b = 0; b < 256; ++b) row[b] = loop_target;
+      for (const auto& e : st[0].edges) row[e.first] = remap[e.second];
+      for (int b = 0; b < 256; ++b) {
+        out->trans_bytes[lo + b] = static_cast<uint8_t>(b);
+        out->trans_next[lo + b] = row[b];
+      }
+    } else {
+      for (size_t k = 0; k < st[s_i].edges.size(); ++k) {
+        out->trans_bytes[lo + k] = st[s_i].edges[k].first;
+        out->trans_next[lo + k] = remap[st[s_i].edges[k].second];
+      }
+    }
+  }
+  {
+    int32_t lo = out->trans_starts[sa];
+    for (size_t k = 0; k < st[0].edges.size(); ++k) {
+      out->trans_bytes[lo + k] = st[0].edges[k].first;
+      out->trans_next[lo + k] = remap[st[0].edges[k].second];
+    }
+  }
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct AcSizes {
+  int32_t num_states;
+  int32_t alphabet_len;
+  int32_t max_match_id;
+  int32_t start_unanchored_id;
+  int32_t start_anchored_id;
+  int32_t start_loop_open;
+  int32_t min_pattern_len;
+  int32_t max_pattern_len;
+  int64_t match_nnz;
+  int64_t trans_nnz;
+};
+
+void* ac_compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
+                 int64_t n_patterns, int match_kind, int case_insensitive,
+                 AcSizes* sizes) {
+  BuildResult* r =
+      Compile(pat_bytes, pat_offsets, n_patterns, match_kind,
+              case_insensitive);
+  sizes->num_states = r->num_states;
+  sizes->alphabet_len = r->alphabet_len;
+  sizes->max_match_id = r->max_match_id;
+  sizes->start_unanchored_id = r->start_unanchored_id;
+  sizes->start_anchored_id = r->start_anchored_id;
+  sizes->start_loop_open = r->start_loop_open;
+  sizes->min_pattern_len = r->min_pattern_len;
+  sizes->max_pattern_len = r->max_pattern_len;
+  sizes->match_nnz = static_cast<int64_t>(r->match_pids.size());
+  sizes->trans_nnz = static_cast<int64_t>(r->trans_next.size());
+  return r;
+}
+
+void ac_copy(void* handle, int32_t* fail, int32_t* depth,
+             int32_t* match_starts, int32_t* match_pids,
+             int32_t* trans_starts, uint8_t* trans_bytes,
+             int32_t* trans_next, uint8_t* classes,
+             int32_t* pattern_lens) {
+  auto* r = static_cast<BuildResult*>(handle);
+  std::memcpy(fail, r->fail.data(), r->fail.size() * 4);
+  std::memcpy(depth, r->depth.data(), r->depth.size() * 4);
+  std::memcpy(match_starts, r->match_starts.data(),
+              r->match_starts.size() * 4);
+  if (!r->match_pids.empty())
+    std::memcpy(match_pids, r->match_pids.data(), r->match_pids.size() * 4);
+  std::memcpy(trans_starts, r->trans_starts.data(),
+              r->trans_starts.size() * 4);
+  if (!r->trans_bytes.empty()) {
+    std::memcpy(trans_bytes, r->trans_bytes.data(), r->trans_bytes.size());
+    std::memcpy(trans_next, r->trans_next.data(), r->trans_next.size() * 4);
+  }
+  std::memcpy(classes, r->classes.data(), 256);
+  if (!r->pattern_lens.empty())
+    std::memcpy(pattern_lens, r->pattern_lens.data(),
+                r->pattern_lens.size() * 4);
+}
+
+void ac_free(void* handle) { delete static_cast<BuildResult*>(handle); }
+
+}  // extern "C"
