@@ -39,6 +39,7 @@ import numpy as np
 from . import oracle, semantics
 from .automata.dfa import DenseDFA, build_dfa
 from .automata.noncontiguous import NFA, compile_nfa, patterns_to_bytes
+from .ops.bitap import BitapEngine
 from .ops.block_scan import DeviceAutomaton
 from .utils.errors import BuildError, MatchError
 from .utils.search import (
@@ -116,6 +117,8 @@ class AhoCorasick:
 
         self._dfa = build_dfa(self._match_nfa)
         self._device: Optional[DeviceAutomaton] = None
+        self._bitap: Optional[BitapEngine] = None
+        self._bitap_checked = False
 
         self._has_empty = bool(
             len(self._nfa.pattern_lens)
@@ -170,6 +173,20 @@ class AhoCorasick:
             self._device = DeviceAutomaton(self._dfa)
         return self._device
 
+    def _bitap_engine(self) -> Optional[BitapEngine]:
+        """The gather-free bit-parallel device engine (ops/bitap.py), or
+        None when the pattern set is out of its bounds (empty patterns,
+        > 512 total pattern bytes) or the mode forces the DFA scan."""
+        if self._engine_mode == "dfa-scan":
+            return None
+        if not self._bitap_checked:
+            self._bitap_checked = True
+            if BitapEngine.eligible(self._patterns):
+                self._bitap = BitapEngine(
+                    self._patterns, self._case_insensitive
+                )
+        return self._bitap
+
     def _check_anchored(self, input: Input) -> None:
         """enforce_anchored_consistency (ahocorasick.rs:2778-2789)."""
         if input.anchored.is_anchored():
@@ -200,7 +217,18 @@ class AhoCorasick:
         faster than a device dispatch.
         """
         hs = input.haystack[input.start:input.end]
-        if len(hs) < self._device_threshold:
+        bitap = self._bitap_engine()
+        if bitap is not None and (
+            len(hs) >= self._device_threshold
+            or self._engine_mode == "bitap"
+        ):
+            pids, ends = bitap.match_pairs(hs)
+            starts = ends - self._dfa.pattern_lens[pids].astype(np.int64)
+            return semantics.MatchSet(pids, starts, ends, input.start)
+        if (
+            len(hs) < self._device_threshold
+            and self._engine_mode != "device-only"
+        ):
             from .ops.block_scan import scan_states_host
 
             states = scan_states_host(self._dfa, hs)
@@ -301,6 +329,9 @@ class AhoCorasick:
         if not self._match_kind.is_standard():
             raise MatchError.unsupported_overlapping(self._match_kind)
         hs = input.haystack[input.start:input.end]
+        bitap = self._bitap_engine()
+        if bitap is not None:
+            return bitap.count_matches(hs)
         return self._device_automaton().count_matches(hs)
 
     # ------------------------------------------------------------------
@@ -484,8 +515,16 @@ class AhoCorasickBuilder:
         return self
 
     def engine(self, mode: str) -> "AhoCorasickBuilder":
-        """TPU extension: force 'device-only', 'oracle', or 'auto'."""
-        if mode not in ("auto", "oracle", "device-only"):
+        """TPU extension: engine preference.
+
+        'auto' (bitap kernel when eligible, else DFA scan, host walk for
+        tiny haystacks), 'device-only' (never host-walk), 'bitap' (force
+        the bit-parallel kernel even for tiny haystacks), 'dfa-scan'
+        (force the dense-DFA blocked scan), 'oracle' (host reference
+        walk) — the analog of the reference's test-only backend forcing
+        knobs (packed/api.rs:137-188)."""
+        if mode not in ("auto", "oracle", "device-only", "bitap",
+                        "dfa-scan"):
             raise ValueError(f"unknown engine mode {mode!r}")
         self._engine = mode
         return self

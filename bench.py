@@ -1,17 +1,25 @@
-"""Benchmark: dense-DFA scan throughput per chip.
+"""Benchmark: multi-pattern search throughput per chip.
 
-Measures the blocked parallel DFA scan (count mode: scan + device-side
-match-count reduction, nothing but a scalar leaves the device) on the
-reference's headline configuration: the sherlock/name-alt1 pattern set
-(5 literals) over English-like text.
+Measures the production device engine (bit-parallel shift-AND Pallas
+kernel, ops/bitap.py) in count mode on the reference's headline
+configuration: the sherlock/name-alt1 pattern set (5 literals) over
+English-like text, 64 MiB resident in HBM.
 
-Reference baseline (BASELINE.md): forced dense DFA on x86_64 runs
-~0.86 GB/s (one dependent table gather per byte). The TPU blocked scan
-replaces the sequential walk with thousands of lane-parallel walks.
+Reference baseline (BASELINE.md): the same query via aho-corasick's forced
+dense DFA runs ~0.86 GB/s on x86_64 (one dependent table gather per byte);
+its prefilter-accelerated default hits ~51 GB/s.
+
+Methodology: this environment reaches the TPU through a tunnel with
+~25-60 ms per-dispatch latency, so single-call timing measures the tunnel,
+not the chip. We chain R kernel invocations inside one jit (separated by
+lax.optimization_barrier so XLA cannot CSE them) and report the slope
+(t(R2) - t(R1)) / (R2 - R1) — the marginal per-scan device time, which is
+what a production (non-tunneled) deployment sees per call.
 
 Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
 
+import functools
 import json
 import sys
 import time
@@ -51,86 +59,89 @@ def build_haystack(n: int) -> bytes:
     return b" ".join(parts)[:n]
 
 
+def host_count(patterns, hay: bytes) -> int:
+    total = 0
+    for p in patterns:
+        start = 0
+        while True:
+            i = hay.find(p, start)
+            if i < 0:
+                break
+            total += 1
+            start = i + 1
+    return total
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    from ahocorasick_tpu import AhoCorasick
-    from ahocorasick_tpu.ops.block_scan import (
-        _count_matches_jit,
-        choose_block_len,
-        _round_up,
-        scan_states_host,
-    )
+    from ahocorasick_tpu.ops import bitap as B
 
-    dev_kind = jax.devices()[0].platform
-    log(f"device: {jax.devices()[0]}")
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
 
     patterns = [
-        "Sherlock Holmes",
-        "John Watson",
-        "Irene Adler",
-        "Inspector Lestrade",
-        "Professor Moriarty",
+        b"Sherlock Holmes",
+        b"John Watson",
+        b"Irene Adler",
+        b"Inspector Lestrade",
+        b"Professor Moriarty",
     ]
     n = 1 << 26  # 64 MiB
     haystack = build_haystack(n)
-    ac = AhoCorasick(patterns, device_threshold=0)
-    dev = ac._device_automaton()
-    halo = dev.halo
-    block_len = choose_block_len(n, halo)
-    n_pad = _round_up(n, block_len)
-    buf = np.zeros(n_pad, dtype=np.uint8)
-    buf[:n] = np.frombuffer(haystack, dtype=np.uint8)
-    buf_dev = jax.device_put(jnp.asarray(buf))  # staged once in HBM
+    expect = host_count(patterns, haystack)
+    log(f"host count = {expect}")
 
-    def run():
-        return _count_matches_jit(
-            dev.trans_flat,
-            dev.classes,
-            dev.match_count,
-            buf_dev,
-            jnp.int32(n),
-            jnp.int32(dev.alphabet_len),
-            jnp.int32(dev.start_id),
-            block_len,
-            halo,
-        )
+    eng = B.BitapEngine(patterns, False)
+    L, Lc, tiles = eng._layout(n)
+    K = eng.tables.k
+    lo, hi, sm, em = eng._args()
+    nn = jnp.asarray([n], jnp.int32)
+    x32 = jax.device_put(eng._pack(haystack, L, tiles))
+    log(f"K={K} L={L} Lc={Lc} tiles={tiles} halo={eng.halo}")
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chained(lo, hi, sm, em, x32, nn, reps):
+        total = jnp.int32(0)
+        x = x32
+        for _ in range(reps):
+            t, _ = B._bitap_call(
+                lo, hi, sm, em, x, nn, K=K, L=L, Lc=Lc,
+                H=eng.halo, tiles=tiles, extract=False,
+            )
+            total = total + t
+            x, total = jax.lax.optimization_barrier((x, total))
+        return total
+
+    def t_at(reps: int, iters: int = 4) -> float:
+        out = int(chained(lo, hi, sm, em, x32, nn, reps))
+        assert out == expect * reps, (out, expect * reps)
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            int(chained(lo, hi, sm, em, x32, nn, reps))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     log("compiling...")
     t0 = time.perf_counter()
-    count = int(run())
-    log(f"first run {time.perf_counter() - t0:.1f}s, count={count}")
-
-    # Correctness spot check vs host scalar walk on a slice.
-    sl = haystack[: 1 << 17]
-    s_host = scan_states_host(ac._dfa, sl)
-    host_count = int(
-        np.sum(
-            (s_host >= 2) & (s_host <= ac._dfa.special.max_match_id)
-        )
+    r_lo, r_hi = 4, 20
+    t_lo = t_at(r_lo)
+    t_hi = t_at(r_hi)
+    per = (t_hi - t_lo) / (r_hi - r_lo)
+    log(
+        f"t({r_lo})={t_lo*1e3:.1f} ms t({r_hi})={t_hi*1e3:.1f} ms "
+        f"-> per-scan {per*1e3:.3f} ms "
+        f"(total wall {time.perf_counter() - t0:.1f}s)"
     )
-    # count matches in slice via match_count lookup
-    mc = (ac._dfa.match_starts[1:] - ac._dfa.match_starts[:-1])
-    host_matches = int(mc[s_host].sum())
-    dev_slice = dev.count_matches(sl)
-    assert dev_slice == host_matches, (dev_slice, host_matches)
-    log(f"slice check ok ({host_matches} matches in 128KiB slice)")
-
-    times = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        c = run()
-        c.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    med = sorted(times)[len(times) // 2]
-    gbps = n / med / 1e9
-    log(f"median {med * 1e3:.2f} ms over {n / 2**20:.0f} MiB")
+    gbps = n / per / 1e9
 
     print(
         json.dumps(
             {
-                "metric": f"dense-DFA scan throughput ({dev_kind})",
+                "metric": "5-pattern search throughput, bitap kernel "
+                f"({dev.platform})",
                 "value": round(gbps, 2),
                 "unit": "GB/s/chip",
                 "vs_baseline": round(gbps / BASELINE_DFA_GBPS, 1),

@@ -1,0 +1,136 @@
+"""Bit-parallel engine (ops/bitap.py) unit + randomized oracle tests.
+
+The reference's strategy of forcing slow-but-correct backends as oracles
+(tests.rs:686-873): here the oracle is naive per-pattern scanning, and the
+engine under test is the Pallas kernel in interpret mode (CPU).
+"""
+
+import numpy as np
+import pytest
+
+from ahocorasick_tpu.ops.bitap import BitapEngine, BitapTables
+
+
+def naive_pairs(pats, hay, ci=False):
+    out = []
+    h = hay.lower() if ci else hay
+    for pid, p in enumerate(pats):
+        q = p.lower() if ci else p
+        st = 0
+        while True:
+            i = h.find(q, st)
+            if i < 0:
+                break
+            out.append((pid, i + len(p)))
+            st = i + 1
+    lens = np.array([len(p) for p in pats])
+    order = np.lexsort((np.arange(len(pats)), -lens))
+    rank = np.empty(len(pats), np.int64)
+    rank[order] = np.arange(len(pats))
+    out.sort(key=lambda t: (t[1], rank[t[0]]))
+    return out
+
+
+def check(pats, hay, ci=False):
+    eng = BitapEngine(pats, ci)
+    want = naive_pairs(pats, hay, ci)
+    assert eng.count_matches(hay) == len(want)
+    pids, ends = eng.match_pairs(hay)
+    assert list(zip(pids.tolist(), ends.tolist())) == want
+
+
+def test_basics():
+    check([b"apple", b"maple", b"Snapple"],
+          b"Nobody likes maple in their apple flavored Snapple.")
+    check([b"a"], b"aaaa")
+    check([b"abba", b"b", b"ba"], b"abbabba")
+    check([b"xyz"], b"")
+    check([b"q", b"q", b"q"], b"qq")  # duplicate patterns
+
+
+def test_case_insensitive():
+    check([b"aBc", b"XY"], b"AbC abc ABC xy Xy xbc", ci=True)
+
+
+def test_match_at_boundaries():
+    # patterns straddling the packed-word and halo boundaries
+    pat = b"boundary!"
+    for pos in [0, 1, 3, 4, 5, 511, 512, 513, 2043, 2044, 4095]:
+        hay = bytearray(b"." * 8192)
+        hay[pos:pos + len(pat)] = pat
+        check([pat, b".."], bytes(hay))
+
+
+def test_long_pattern_halo():
+    # max_pattern_len larger than one packed word and near halo size
+    pat = bytes(range(65, 65 + 50))
+    hay = b"z" * 3000 + pat + b"z" * 1000 + pat
+    check([pat], hay)
+
+
+def test_chunked_extraction(monkeypatch):
+    """Exercise the >MAX_EXTRACT_CHUNK splitting path, including matches
+    straddling chunk boundaries."""
+    import ahocorasick_tpu.ops.bitap as M
+
+    monkeypatch.setattr(M, "MAX_EXTRACT_CHUNK", 1 << 14)
+    pats = [b"needle", b"edl"]
+    hay = bytearray(np.random.default_rng(3).integers(
+        97, 123, size=40000, dtype=np.uint8).tobytes())
+    for p in [100, 8190, 8195, 16383, 30000, 39990]:
+        hay[p:p + 6] = b"needle"
+    hay = bytes(hay)
+    check(pats, hay)
+
+
+def test_randomized_vs_naive():
+    rng = np.random.default_rng(42)
+    for trial in range(8):
+        npat = int(rng.integers(1, 10))
+        pats = []
+        for _ in range(npat):
+            ln = int(rng.integers(1, 12))
+            pats.append(bytes(rng.choice(
+                [97, 98, 99, 65, 66], size=ln
+            ).astype(np.uint8)))
+        n = int(rng.integers(1, 6000))
+        hay = bytes(rng.choice(
+            [97, 98, 99, 65, 66, 32], size=n
+        ).astype(np.uint8))
+        ci = bool(rng.integers(2))
+        check(pats, hay, ci)
+
+
+def test_eligibility():
+    assert not BitapEngine.eligible([])
+    assert not BitapEngine.eligible([b""])
+    assert not BitapEngine.eligible([b"a" * 513])
+    assert not BitapEngine.eligible([b"ab"] * 300)
+    assert BitapEngine.eligible([b"ab"] * 256)
+    assert BitapEngine.eligible([b"x"])
+
+
+def test_tables_factorization_exact():
+    """lo/hi nybble product must reconstruct the charmask exactly."""
+    rng = np.random.default_rng(0)
+    for ci in (False, True):
+        pats = [bytes(rng.integers(0, 256, size=7).astype(np.uint8))
+                for _ in range(4)]
+        t = BitapTables(pats, ci)
+        # rebuild reference charmask
+        cm = np.zeros((256, t.k), np.uint32)
+        off = 0
+        for p in pats:
+            for i, ch in enumerate(p):
+                g = off + i
+                vs = {ch}
+                if ci and 0x61 <= (ch | 0x20) <= 0x7A:
+                    vs = {ch | 0x20, ch & ~0x20}
+                for v in vs:
+                    cm[v, g // 32] |= np.uint32(1 << (g % 32))
+            off += len(p)
+        lo = t.lo.view(np.uint32)
+        hi = t.hi.view(np.uint32)
+        for b in range(256):
+            got = lo[:, b & 15] & hi[:, b >> 4]
+            assert (got == cm[b]).all(), (b, got, cm[b])

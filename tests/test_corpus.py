@@ -18,11 +18,16 @@ from ahocorasick_tpu import (
 )
 
 CONFIGS = [
-    # Forces every haystack through the blocked device scan.
-    ("device", dict(engine="device-only", device_threshold=0)),
+    # Forces every haystack through the bit-parallel Pallas kernel
+    # (interpret mode on CPU); ineligible pattern sets (empty patterns,
+    # >512 bytes) fall back to the DFA scan, so this config still covers
+    # every corpus case.
+    ("bitap", dict(engine="bitap", device_threshold=0)),
+    # Forces the blocked dense-DFA device scan.
+    ("dfa_scan", dict(engine="dfa-scan", device_threshold=0)),
     # Same dense-table semantics via the host scalar walk (fast), with
     # byte classes disabled (identity alphabet).
-    ("device_nobc", dict(engine="device-only", byte_classes=False)),
+    ("device_nobc", dict(engine="dfa-scan", byte_classes=False)),
     ("oracle", dict(engine="oracle")),
     ("auto", dict()),
 ]
