@@ -64,6 +64,11 @@ MAX_PATTERN_LEN = 2048
 # Extraction processes at most this many haystack bytes per kernel launch
 # (bounds the K-words-per-byte device output); count mode is unchunked.
 MAX_EXTRACT_CHUNK = 1 << 23
+# Haystacks at least this long use the constant-baked kernel variant
+# (tables folded into the compiled kernel: pruned select trees + no
+# position masking via a pad byte). Below it, the table-generic SMEM
+# kernel amortizes one compile across all pattern sets of equal shape.
+BAKED_MIN = 1 << 20
 
 
 def _pow2(x: int) -> int:
@@ -130,6 +135,26 @@ class BitapTables:
         )
         self.pid_rank = np.empty(len(patterns), np.int64)
         self.pid_rank[order] = np.arange(len(patterns))
+        # A pad byte whose charmask is zero in every limb: padding the
+        # haystack with it kills all chain bits, so the baked kernel can
+        # count/extract with no position masking at all. None if the
+        # pattern set touches every byte value (then the masked generic
+        # kernel is used instead).
+        self.pad_byte: Optional[int] = None
+        lo_u, hi_u = lo, hi
+        for b in range(256):
+            if not (lo_u[:, b & 15] & hi_u[:, b >> 4]).any():
+                self.pad_byte = b
+                break
+
+    def baked_key(self):
+        """Hashable identity of the tables for the baked-kernel cache."""
+        return (
+            tuple(map(tuple, self.lo.tolist())),
+            tuple(map(tuple, self.hi.tolist())),
+            tuple(self.start.tolist()),
+            tuple(self.end.tolist()),
+        )
 
     def device_args(self):
         return (
@@ -231,6 +256,174 @@ def _make_kernel(K: int, L: int, Lc: int, H: int, extract: bool):
         cnt_ref[0] = acc
 
     return kernel
+
+
+def _emit_mux_const(bits, leaves):
+    """Pruned 4-level select tree over constant leaves.
+
+    Builds the tree structure host-side, merging subtrees whose leaves
+    are all equal (typically zero — byte values absent from the pattern
+    set), then emits only the surviving selects. Returns None when every
+    leaf is zero."""
+    t = [("c", int(v)) for v in leaves]
+    for b_i in range(len(bits)):
+        nxt = []
+        for m in range(len(t) // 2):
+            lo_n, hi_n = t[2 * m], t[2 * m + 1]
+            nxt.append(lo_n if lo_n == hi_n else ("s", b_i, lo_n, hi_n))
+        t = nxt
+
+    def emit(node):
+        if node[0] == "c":
+            return None if node[1] == 0 else jnp.int32(np.int32(node[1]))
+        _, b_i, lo_n, hi_n = node
+        lo_e, hi_e = emit(lo_n), emit(hi_n)
+        if lo_e is None and hi_e is None:
+            return None
+        return jnp.where(
+            bits[b_i],
+            jnp.int32(0) if hi_e is None else hi_e,
+            jnp.int32(0) if lo_e is None else lo_e,
+        )
+
+    return emit(t[0])
+
+
+def _make_baked_kernel(lo_c, hi_c, sm_c, em_c,
+                       K: int, Lc: int, H: int, extract: bool):
+    """Kernel with tables folded in as constants (see BAKED_MIN).
+
+    Requires pad-byte padding: no position masking is emitted, so every
+    position of the padded buffer must be scanned safely (charmask of the
+    pad byte is zero in every limb => no hits in padding)."""
+    Wc = Lc // 4
+    Hw = H // 4
+
+    def kernel(halo_ref, body_ref, *out_and_scratch):
+        if extract:
+            cnt_ref, words_ref, ms_ref = out_and_scratch
+        else:
+            cnt_ref, ms_ref = out_and_scratch
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        def advance(ms, b):
+            bits = [(b & (1 << t)) != 0 for t in range(8)]
+            nms = []
+            hits = []
+            carry = jnp.zeros((R, 128), jnp.int32)
+            for k in range(K):
+                lo_t = _emit_mux_const(bits[:4], lo_c[k])
+                hi_t = _emit_mux_const(bits[4:], hi_c[k])
+                if lo_t is None or hi_t is None:
+                    cm = jnp.zeros((R, 128), jnp.int32)
+                else:
+                    cm = lo_t & hi_t
+                nm = ((ms[k] << 1) | carry | sm_c[k]) & cm
+                carry = lax.shift_right_logical(ms[k], 31) & 1
+                nms.append(nm)
+                hits.append(nm & em_c[k] if em_c[k] else None)
+            return nms, hits
+
+        @pl.when(j == 0)
+        def _warmup():
+            def hstep(w, ms):
+                word = halo_ref[w]
+                for jj in range(4):
+                    b = lax.shift_right_logical(word, 8 * jj) & 255
+                    ms, _ = advance(ms, b)
+                return ms
+            z = [jnp.zeros((R, 128), jnp.int32)] * K
+            ms = lax.fori_loop(0, Hw, hstep, z) if Hw else z
+            row = lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+            col = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+            first = ((i * R + row) * 128 + col) == 0
+            for k in range(K):
+                ms_ref[k] = jnp.where(first, 0, ms[k])
+            cnt_ref[0] = jnp.zeros((R, 128), jnp.int32)
+
+        def step(w, carry):
+            ms, acc = carry
+            word = body_ref[w]
+            for jj in range(4):
+                b = lax.shift_right_logical(word, 8 * jj) & 255
+                ms, hits = advance(ms, b)
+                for k in range(K):
+                    if hits[k] is None:
+                        continue
+                    acc = acc + lax.population_count(hits[k])
+                    if extract:
+                        words_ref[0, w * 4 + jj, k] = hits[k]
+            return ms, acc
+
+        ms0 = [ms_ref[k] for k in range(K)]
+        ms, acc = lax.fori_loop(0, Wc, step, (ms0, cnt_ref[0]))
+        for k in range(K):
+            ms_ref[k] = ms[k]
+        cnt_ref[0] = acc
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=256)
+def _baked_jit(tables_key, K: int, L: int, Lc: int, H: int, tiles: int,
+               extract: bool):
+    """Jitted entry for one (pattern set, layout) pair, cached.
+
+    Count mode: fn(x32) -> total. Extract mode: fn(x32, cap) -> (total,
+    nnzw, idx, vals) with the word compaction fused into the same
+    dispatch."""
+    lo_c, hi_c, sm_c, em_c = tables_key
+    kernel = _make_baked_kernel(lo_c, hi_c, sm_c, em_c, K, Lc, H, extract)
+    Bp = tiles * LANES
+    Wb = L // 4
+    Hw = H // 4
+    nchunks = L // Lc
+    Wc = Lc // 4
+
+    def fn(x32, cap=None):
+        body = x32.reshape(Bp, Wb).T.reshape(Wb, Bp // 128, 128)
+        halo = jnp.roll(x32, Hw).reshape(Bp, Wb)[:, :Hw].T
+        halo = halo.reshape(Hw, Bp // 128, 128)
+        out_shapes = [jax.ShapeDtypeStruct((tiles, R, 128), jnp.int32)]
+        out_specs = [pl.BlockSpec((1, R, 128), lambda i, j: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        if extract:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((tiles, L, K, R, 128), jnp.int32)
+            )
+            out_specs.append(
+                pl.BlockSpec((1, Lc, K, R, 128),
+                             lambda i, j: (i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+        res = pl.pallas_call(
+            kernel,
+            grid=(tiles, nchunks),
+            in_specs=[
+                pl.BlockSpec((Hw, R, 128), lambda i, j: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Wc, R, 128), lambda i, j: (j, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((K, R, 128), jnp.int32)],
+            interpret=_interpret(),
+        )(halo, body)
+        total = jnp.sum(res[0])
+        if not extract:
+            return total
+        flat = res[1].reshape(-1)
+        nz = flat != 0
+        nnzw = jnp.sum(nz.astype(jnp.int32))
+        (idx,) = jnp.nonzero(nz, size=cap, fill_value=flat.shape[0])
+        vals = jnp.take(flat, jnp.minimum(idx, flat.shape[0] - 1))
+        return total, nnzw, idx, vals
+
+    if extract:
+        return jax.jit(fn, static_argnames=("cap",))
+    return jax.jit(fn)
 
 
 @functools.partial(
@@ -356,11 +549,17 @@ class BitapEngine:
         Lc = min(L, 512)
         return L, Lc, tiles
 
-    def _pack(self, hs: bytes, L: int, tiles: int) -> jax.Array:
+    def _pack(self, hs: bytes, L: int, tiles: int,
+              pad: int = 0) -> jax.Array:
         total = tiles * LANES * L
-        buf = np.zeros(total, np.uint8)
+        buf = np.full(total, pad, np.uint8) if pad else np.zeros(
+            total, np.uint8
+        )
         buf[: len(hs)] = np.frombuffer(hs, np.uint8)
         return jnp.asarray(buf.view(np.int32))
+
+    def _use_baked(self, n: int) -> bool:
+        return n >= BAKED_MIN and self.tables.pad_byte is not None
 
     def _args(self):
         if self._dev_args is None:
@@ -373,6 +572,11 @@ class BitapEngine:
         if n == 0:
             return 0
         L, Lc, tiles = self._layout(n)
+        if self._use_baked(n):
+            fn = _baked_jit(self.tables.baked_key(), self.tables.k,
+                            L, Lc, self.halo, tiles, False)
+            x32 = self._pack(hs, L, tiles, pad=self.tables.pad_byte)
+            return int(fn(x32))
         x32 = self._pack(hs, L, tiles)
         lo, hi, sm, em = self._args()
         total, _ = _bitap_call(
@@ -410,16 +614,26 @@ class BitapEngine:
         # Cap extraction VMEM: words block is Lc*K*4 KiB.
         while Lc * t.k > 1024 and Lc > 4:
             Lc //= 2
-        x32 = self._pack(hs, L, tiles)
-        lo, hi, sm, em = self._args()
-        nn = jnp.asarray([n], jnp.int32)
+        baked = self._use_baked(n)
+        if baked:
+            fn = _baked_jit(t.baked_key(), t.k, L, Lc, self.halo,
+                            tiles, True)
+            x32 = self._pack(hs, L, tiles, pad=t.pad_byte)
+        else:
+            x32 = self._pack(hs, L, tiles)
+            lo, hi, sm, em = self._args()
+            nn = jnp.asarray([n], jnp.int32)
         words_size = tiles * L * t.k * LANES
         cap = 4096
         while True:
-            total, nnzw, idx, vals = _extract_compact(
-                lo, hi, sm, em, x32, nn,
-                K=t.k, L=L, Lc=Lc, H=self.halo, tiles=tiles, cap=cap,
-            )
+            if baked:
+                total, nnzw, idx, vals = fn(x32, cap=cap)
+            else:
+                total, nnzw, idx, vals = _extract_compact(
+                    lo, hi, sm, em, x32, nn,
+                    K=t.k, L=L, Lc=Lc, H=self.halo, tiles=tiles,
+                    cap=cap,
+                )
             nnzw = int(nnzw)
             if nnzw <= cap:
                 break

@@ -96,31 +96,32 @@ def main():
     eng = B.BitapEngine(patterns, False)
     L, Lc, tiles = eng._layout(n)
     K = eng.tables.k
-    lo, hi, sm, em = eng._args()
-    nn = jnp.asarray([n], jnp.int32)
-    x32 = jax.device_put(eng._pack(haystack, L, tiles))
-    log(f"K={K} L={L} Lc={Lc} tiles={tiles} halo={eng.halo}")
+    assert eng._use_baked(n)
+    count_fn = B._baked_jit(
+        eng.tables.baked_key(), K, L, Lc, eng.halo, tiles, False
+    )
+    x32 = jax.device_put(
+        eng._pack(haystack, L, tiles, pad=eng.tables.pad_byte)
+    )
+    log(f"K={K} L={L} Lc={Lc} tiles={tiles} halo={eng.halo} "
+        f"pad={eng.tables.pad_byte}")
 
     @functools.partial(jax.jit, static_argnames=("reps",))
-    def chained(lo, hi, sm, em, x32, nn, reps):
+    def chained(x32, reps):
         total = jnp.int32(0)
         x = x32
         for _ in range(reps):
-            t, _ = B._bitap_call(
-                lo, hi, sm, em, x, nn, K=K, L=L, Lc=Lc,
-                H=eng.halo, tiles=tiles, extract=False,
-            )
-            total = total + t
+            total = total + count_fn(x)
             x, total = jax.lax.optimization_barrier((x, total))
         return total
 
     def t_at(reps: int, iters: int = 4) -> float:
-        out = int(chained(lo, hi, sm, em, x32, nn, reps))
+        out = int(chained(x32, reps))
         assert out == expect * reps, (out, expect * reps)
         best = float("inf")
         for _ in range(iters):
             t0 = time.perf_counter()
-            int(chained(lo, hi, sm, em, x32, nn, reps))
+            int(chained(x32, reps))
             best = min(best, time.perf_counter() - t0)
         return best
 

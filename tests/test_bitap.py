@@ -101,6 +101,38 @@ def test_randomized_vs_naive():
         check(pats, hay, ci)
 
 
+def test_baked_variant(monkeypatch):
+    """The constant-baked kernel (used for large haystacks) must agree
+    with the generic kernel and the naive oracle."""
+    import ahocorasick_tpu.ops.bitap as M
+
+    monkeypatch.setattr(M, "BAKED_MIN", 0)
+    rng = np.random.default_rng(11)
+    pats = [b"abra", b"cadabra", b"bra", b"Abc"]
+    hay = bytes(rng.choice(
+        [97, 98, 99, 100, 114, 65], size=9000
+    ).astype(np.uint8))
+    eng = BitapEngine(pats, False)
+    assert eng.tables.pad_byte is not None
+    assert eng._use_baked(len(hay))
+    check(pats, hay)
+    check(pats, hay, ci=False)
+    # case-insensitive baked
+    check([b"aBRa", b"CAD"], hay, ci=True)
+
+
+def test_pad_byte_detection():
+    t = BitapTables([b"abc"], False)
+    assert t.pad_byte == 0
+    # pattern containing \x00 pushes the pad byte elsewhere
+    t = BitapTables([b"\x00abc"], False)
+    assert t.pad_byte is not None and t.pad_byte != 0
+    cm_lo = t.lo.view(np.uint32)
+    cm_hi = t.hi.view(np.uint32)
+    b = t.pad_byte
+    assert not (cm_lo[:, b & 15] & cm_hi[:, b >> 4]).any()
+
+
 def test_eligibility():
     assert not BitapEngine.eligible([])
     assert not BitapEngine.eligible([b""])
