@@ -193,7 +193,10 @@ def _make_kernel(K: int, L: int, Lc: int, H: int, extract: bool):
         row = lax.broadcasted_iota(jnp.int32, (R, 128), 0)
         col = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
         stream = (i * R + row) * 128 + col
-        n = nn_ref[0]
+        # Count window [n0, n): positions below n0 (a left halo owned by a
+        # neighboring shard) and at/after n (padding) are not counted.
+        n0 = nn_ref[0]
+        n = nn_ref[1]
         LO = [[lo_ref[k, v] for v in range(16)] for k in range(K)]
         HI = [[hi_ref[k, v] for v in range(16)] for k in range(K)]
         SM = [sm_ref[k] for k in range(K)]
@@ -239,7 +242,8 @@ def _make_kernel(K: int, L: int, Lc: int, H: int, extract: bool):
             for jj in range(4):
                 b = lax.shift_right_logical(word, 8 * jj) & 255
                 ms, hits = advance(ms, b)
-                ok = (pos_base + (w * 4 + jj)) < n
+                pos = pos_base + (w * 4 + jj)
+                ok = (pos >= n0) & (pos < n)
                 mc = jnp.zeros((R, 128), jnp.int32)
                 for k in range(K):
                     h = jnp.where(ok, hits[k], 0)
@@ -580,7 +584,7 @@ class BitapEngine:
         x32 = self._pack(hs, L, tiles)
         lo, hi, sm, em = self._args()
         total, _ = _bitap_call(
-            lo, hi, sm, em, x32, jnp.asarray([n], jnp.int32),
+            lo, hi, sm, em, x32, jnp.asarray([0, n], jnp.int32),
             K=self.tables.k, L=L, Lc=Lc, H=self.halo, tiles=tiles,
             extract=False,
         )
@@ -622,7 +626,7 @@ class BitapEngine:
         else:
             x32 = self._pack(hs, L, tiles)
             lo, hi, sm, em = self._args()
-            nn = jnp.asarray([n], jnp.int32)
+            nn = jnp.asarray([0, n], jnp.int32)
         words_size = tiles * L * t.k * LANES
         cap = 4096
         while True:

@@ -32,6 +32,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.block_scan import DeviceAutomaton, _round_up, choose_block_len
 
 
+def _pvary(x, axis_name):
+    """Mark x as varying over a shard_map mesh axis (pcast on newer jax,
+    pvary on older)."""
+    if hasattr(lax, "pcast"):
+        return lax.pcast(x, axis_name, to="varying")
+    return lax.pvary(x, (axis_name,))
+
+
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -107,8 +115,8 @@ def count_kernel(
     if axis_name is not None:
         # Inside shard_map the carry must be marked as varying over the
         # mesh axis (it mixes with per-shard data on the first step).
-        s0 = lax.pvary(s0, (axis_name,))
-        acc0 = lax.pvary(acc0, (axis_name,))
+        s0 = _pvary(s0, axis_name)
+        acc0 = _pvary(acc0, axis_name)
     (_, acc), _ = lax.scan(step, (s0, acc0), (cw, counted))
     return jnp.sum(acc)
 
@@ -171,3 +179,69 @@ def sharded_count_matches(
             - dev.dfa.match_starts[dev.start_id]
         )
     return int(total) + extra
+
+
+def sharded_bitap_count(
+    eng,  # ops.bitap.BitapEngine
+    haystack: bytes,
+    mesh: Optional[Mesh] = None,
+) -> int:
+    """Mesh-parallel overlapping-match count on the bit-parallel engine.
+
+    Data-parallel over the haystack: every device gets a contiguous shard
+    prefixed by a ``halo`` of its left neighbor's tail (state warmup —
+    the reference's roll-buffer carry, util/buffer.rs:107-123, across
+    chips instead of across read() calls). Each device runs the Pallas
+    shift-AND kernel on its shard with the count window set to exclude
+    the halo; partial counts psum over ICI, one scalar returns.
+    """
+    from ..ops.bitap import LANES, _bitap_call
+
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.devices.size
+    n = len(haystack)
+    if n == 0:
+        return 0
+    t = eng.tables
+    halo = eng.halo
+    shard = _round_up(-(-n // ndev), 4)
+    # Per-shard bitap layout for halo + shard bytes.
+    L, Lc, tiles = eng._layout(halo + shard)
+    row_bytes = tiles * LANES * L
+    rows = np.zeros((ndev, row_bytes), dtype=np.uint8)
+    nn = np.zeros((ndev, 2), dtype=np.int32)
+    buf = np.frombuffer(haystack, dtype=np.uint8)
+    for i in range(ndev):
+        g0 = i * shard
+        lo_ = max(0, g0 - halo)
+        seg = buf[lo_:min(g0 + shard, n)]
+        off = halo - (g0 - lo_)
+        rows[i, off:off + len(seg)] = seg
+        nn[i, 0] = halo                                   # count from
+        nn[i, 1] = halo + max(0, min(n - g0, shard))      # count to
+    rows32 = rows.view(np.int32)
+    lo, hi, sm, em = eng._args()
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("d", None), P("d", None)),
+        out_specs=P(),
+        # pallas_call outputs carry no varying-mesh-axis metadata; the
+        # psum below makes the result replicated explicitly.
+        check_vma=False,
+    )
+    def run(lo, hi, sm, em, rows32, nn):
+        total, _ = _bitap_call(
+            lo, hi, sm, em, rows32[0], nn[0],
+            K=t.k, L=L, Lc=Lc, H=halo, tiles=tiles, extract=False,
+        )
+        return lax.psum(total, "d")
+
+    total = jax.jit(run)(
+        lo, hi, sm, em,
+        jax.device_put(rows32, NamedSharding(mesh, P("d", None))),
+        jax.device_put(nn, NamedSharding(mesh, P("d", None))),
+    )
+    return int(total)
