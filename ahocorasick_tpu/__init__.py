@@ -4,10 +4,14 @@ A from-scratch re-design of the capabilities of the `aho-corasick` crate
 (BurntSushi/aho-corasick v1.1.3) for TPU hardware with JAX/XLA/Pallas:
 
   - Host-side trie + BFS failure-link construction compiles pattern sets
-    into flat int32 automaton tables (automata/).
-  - The byte-at-a-time DFA walk is re-cast as a lane-parallel blocked scan
-    on the device: thousands of independent walks with halo overlap,
-    one vectorized table gather per step (ops/block_scan.py).
+    into flat int32 automaton tables (automata/; optional native C++
+    builder in native/).
+  - The primary device engine is a gather-free bit-parallel shift-AND
+    Pallas kernel — 1024 haystack streams per grid tile, charmask lookup
+    as pruned nybble select trees — measured 60+ GB/s/chip on the
+    reference's headline 5-pattern benchmark vs its 0.86 GB/s dense DFA
+    (ops/bitap.py). Pattern sets beyond its bounds use a lane-parallel
+    blocked DFA scan (ops/block_scan.py).
   - Standard / leftmost-first / leftmost-longest semantics, overlapping
     search, anchored search, ASCII case folding, replacement and stream
     search/replace all reproduce the reference's (pattern, start, end)

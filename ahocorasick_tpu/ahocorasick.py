@@ -37,6 +37,7 @@ from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Union
 import numpy as np
 
 from . import oracle, semantics
+from .utils import log
 from .automata.dfa import DenseDFA, build_dfa
 from .automata.noncontiguous import NFA, compile_nfa, patterns_to_bytes
 from .ops.bitap import BitapEngine
@@ -119,6 +120,8 @@ class AhoCorasick:
         self._device: Optional[DeviceAutomaton] = None
         self._bitap: Optional[BitapEngine] = None
         self._bitap_checked = False
+        self._pre = None
+        self._pre_checked = False
 
         self._has_empty = bool(
             len(self._nfa.pattern_lens)
@@ -135,6 +138,13 @@ class AhoCorasick:
             self._kind = AhoCorasickKind.DFA
         else:
             self._kind = AhoCorasickKind.CONTIGUOUS_NFA
+        log.debug(
+            "built searcher: %d patterns, kind=%s, match_kind=%s, "
+            "nfa states=%d, dfa %d x %d (%d bytes)",
+            len(patterns), self._kind.value, self._match_kind.value,
+            self._nfa.num_states, self._dfa.num_states,
+            self._dfa.alphabet_len, self._dfa.memory_usage(),
+        )
         return self
 
     # ------------------------------------------------------------------
@@ -166,6 +176,22 @@ class AhoCorasick:
         return total
 
     # ------------------------------------------------------------------
+    # Checkpoint/restore (TPU extension; see serialize.py)
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Serialize the compiled searcher (tables included) to .npz."""
+        from . import serialize
+
+        serialize.save(self, path)
+
+    @classmethod
+    def load(cls, path: str) -> "AhoCorasick":
+        """Restore a searcher saved with `save` without recompiling."""
+        from . import serialize
+
+        return serialize.load(path)
+
+    # ------------------------------------------------------------------
     # Internals
     # ------------------------------------------------------------------
     def _device_automaton(self) -> DeviceAutomaton:
@@ -185,7 +211,30 @@ class AhoCorasick:
                 self._bitap = BitapEngine(
                     self._patterns, self._case_insensitive
                 )
+                log.debug(
+                    "bitap engine: K=%d limbs, halo=%d, pad_byte=%r",
+                    self._bitap.tables.k, self._bitap.halo,
+                    self._bitap.tables.pad_byte,
+                )
+            else:
+                log.debug("bitap ineligible; dense-DFA scan engine")
         return self._bitap
+
+    def _prefilter(self):
+        """Host-path skip-ahead prefilter (utils/prefilter.py), or None."""
+        if not self._pre_checked:
+            self._pre_checked = True
+            if self._prefilter_enabled:
+                from .utils import prefilter as _pf
+
+                self._pre = _pf.build(
+                    self._patterns, self._case_insensitive
+                )
+                if self._pre is not None:
+                    log.debug(
+                        "prefilter: %s", type(self._pre).__name__
+                    )
+        return self._pre
 
     def _check_anchored(self, input: Input) -> None:
         """enforce_anchored_consistency (ahocorasick.rs:2778-2789)."""
@@ -260,7 +309,9 @@ class AhoCorasick:
         input = to_input(input)
         self._check_anchored(input)
         if self._use_oracle(input):
-            return oracle.try_find_fwd(self._nfa, input)
+            return oracle.try_find_fwd(
+                self._nfa, input, self._prefilter()
+            )
         ms = self._match_set(input)
         earliest = self._match_kind.is_standard() or input.earliest
         if earliest:
@@ -282,7 +333,9 @@ class AhoCorasick:
         input = to_input(input)
         self._check_anchored(input)
         if self._use_oracle(input):
-            yield from oracle.find_iter(self._nfa, input)
+            yield from oracle.find_iter(
+                self._nfa, input, self._prefilter()
+            )
             return
         ms = self._match_set(input)
         yield from semantics.select_non_overlapping(ms, self._match_kind, 0)

@@ -33,14 +33,21 @@ def _get_match(nfa: NFA, sid: int, index: int, at: int) -> Match:
     return Match(pid, at - length, at)
 
 
-def try_find_fwd(nfa: NFA, input: Input) -> Optional[Match]:
-    """Replicates automaton.rs:1259-1420 (without prefilters, which never
-    change results)."""
+def try_find_fwd(
+    nfa: NFA, input: Input, prefilter=None
+) -> Optional[Match]:
+    """Replicates automaton.rs:1259-1420; with a prefilter, unanchored
+    searches skip from the start state to the next candidate position
+    (automaton.rs:1385-1402 — prefilters never change results, only
+    where the walk spends its time)."""
     if input.is_done():
         return None
     earliest = nfa.match_kind.is_standard() or input.earliest
     anchored = input.anchored
+    if anchored.is_anchored():
+        prefilter = None
     sid = nfa.start_state(anchored)
+    start_id = nfa.special.start_unanchored_id
     at = input.start
     h = input.haystack
     mat: Optional[Match] = None
@@ -49,6 +56,13 @@ def try_find_fwd(nfa: NFA, input: Input) -> Optional[Match]:
         if earliest:
             return mat
     while at < input.end:
+        if prefilter is not None and sid == start_id and mat is None:
+            c = prefilter.find_in(h, at, input.end)
+            if c is None:
+                return mat
+            at = max(at, c.start)
+            if at >= input.end:
+                return mat
         sid = nfa.next_state(anchored, sid, h[at])
         if nfa.is_dead(sid):
             return mat
@@ -131,12 +145,14 @@ def try_find_overlapping_fwd(
     state.id = sid
 
 
-def find_iter(nfa: NFA, input: Input) -> Iterator[Match]:
+def find_iter(
+    nfa: NFA, input: Input, prefilter=None
+) -> Iterator[Match]:
     """Replicates FindIter (automaton.rs:857-935)."""
     last_match_end: Optional[int] = None
     current = input
     while True:
-        m = try_find_fwd(nfa, current)
+        m = try_find_fwd(nfa, current, prefilter)
         if m is None:
             return
         if m.is_empty():
@@ -146,7 +162,7 @@ def find_iter(nfa: NFA, input: Input) -> Iterator[Match]:
                 if current.start + 1 > current.end:
                     return  # the next search would be is_done()
                 current = current.span(current.start + 1, current.end)
-                m = try_find_fwd(nfa, current)
+                m = try_find_fwd(nfa, current, prefilter)
                 if m is None:
                     return
         current = current.span(m.end, current.end)
