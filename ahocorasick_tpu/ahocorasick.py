@@ -23,10 +23,11 @@ TPU-native architecture (not a port):
     oracle (oracle.py) — anchored walks are bounded by max_pattern_len
     transitions, so this is O(max_pattern_len) per search, not O(n).
 
-Backend `kind` selection mirrors ahocorasick.rs:2213-2261 for reporting
-purposes; in this framework every kind currently executes through the same
-dense device table (a compressed contiguous representation is planned),
-so the knob primarily controls the reported kind and memory accounting.
+Backend `kind` selection mirrors ahocorasick.rs:2213-2261. Device scans
+always run the fast engines (bitap kernel or dense-DFA blocked scan); the
+kind controls which automaton backs the *host* walk paths: CONTIGUOUS_NFA
+walks the compressed single-array encoding (automata/contiguous.py), the
+others the noncontiguous CSR arrays.
 """
 
 from __future__ import annotations
@@ -122,6 +123,8 @@ class AhoCorasick:
         self._bitap_checked = False
         self._pre = None
         self._pre_checked = False
+        self._dense_depth = builder._dense_depth
+        self._contig = None
 
         self._has_empty = bool(
             len(self._nfa.pattern_lens)
@@ -220,6 +223,29 @@ class AhoCorasick:
                 log.debug("bitap ineligible; dense-DFA scan engine")
         return self._bitap
 
+    def _oracle_automaton(self):
+        """The automaton backing host walk paths, per the reported kind:
+        CONTIGUOUS_NFA walks the compressed single-array encoding
+        (automata/contiguous.py), other kinds the noncontiguous arrays.
+        Both implement the same host Automaton protocol and produce
+        identical results (contiguous is a re-encoding)."""
+        if self._kind is AhoCorasickKind.CONTIGUOUS_NFA:
+            if self._contig is None:
+                from .automata.contiguous import build_contiguous
+
+                self._contig = build_contiguous(
+                    self._nfa, self._dense_depth
+                )
+                log.debug(
+                    "contiguous NFA: %d words (%d bytes vs %d "
+                    "noncontiguous)",
+                    len(self._contig.repr),
+                    self._contig.memory_usage(),
+                    self._nfa.memory_usage(),
+                )
+            return self._contig
+        return self._nfa
+
     def _prefilter(self):
         """Host-path skip-ahead prefilter (utils/prefilter.py), or None."""
         if not self._pre_checked:
@@ -310,7 +336,7 @@ class AhoCorasick:
         self._check_anchored(input)
         if self._use_oracle(input):
             return oracle.try_find_fwd(
-                self._nfa, input, self._prefilter()
+                self._oracle_automaton(), input, self._prefilter()
             )
         ms = self._match_set(input)
         earliest = self._match_kind.is_standard() or input.earliest
@@ -334,7 +360,7 @@ class AhoCorasick:
         self._check_anchored(input)
         if self._use_oracle(input):
             yield from oracle.find_iter(
-                self._nfa, input, self._prefilter()
+                self._oracle_automaton(), input, self._prefilter()
             )
             return
         ms = self._match_set(input)

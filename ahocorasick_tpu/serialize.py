@@ -83,6 +83,7 @@ def save(ac, path: str) -> None:
             int(ac._byte_classes),
             int(ac._device_threshold),
             list(AhoCorasickKind).index(ac._kind),
+            int(ac._dense_depth),
         ],
         np.int64,
     )
@@ -151,6 +152,8 @@ def load(path: str):
     ac._bitap_checked = False
     ac._pre = None
     ac._pre_checked = False
+    ac._dense_depth = int(cfg[7])
+    ac._contig = None
     ac._has_empty = bool(
         len(ac._nfa.pattern_lens)
         and int(ac._nfa.pattern_lens.min()) == 0
