@@ -59,7 +59,9 @@ R = 8            # sublanes per tile: [8, 128] int32 = one vreg
 LANES = R * 128  # streams per grid tile
 
 # Eligibility bounds for this engine (beyond them: dense-DFA fallback).
-MAX_LIMBS = 16        # <= 512 total pattern bytes
+# Cost scales ~linearly in limbs: measured 83 GB/s at K=1, 8.4 GB/s at
+# K=19 on v5e, so even K=64 comfortably beats the dense-DFA scan.
+MAX_LIMBS = 64        # <= 2048 total pattern bytes
 MAX_PATTERN_LEN = 2048
 # Extraction processes at most this many haystack bytes per kernel launch
 # (bounds the K-words-per-byte device output); count mode is unchunked.

@@ -134,11 +134,14 @@ def test_pad_byte_detection():
 
 
 def test_eligibility():
+    from ahocorasick_tpu.ops.bitap import MAX_LIMBS, MAX_PATTERN_LEN
+
+    limit = 32 * MAX_LIMBS
     assert not BitapEngine.eligible([])
     assert not BitapEngine.eligible([b""])
-    assert not BitapEngine.eligible([b"a" * 513])
-    assert not BitapEngine.eligible([b"ab"] * 300)
-    assert BitapEngine.eligible([b"ab"] * 256)
+    assert not BitapEngine.eligible([b"a" * (MAX_PATTERN_LEN + 1)])
+    assert not BitapEngine.eligible([b"ab"] * (limit // 2 + 1))
+    assert BitapEngine.eligible([b"ab"] * (limit // 2))
     assert BitapEngine.eligible([b"x"])
 
 
