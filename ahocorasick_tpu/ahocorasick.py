@@ -300,6 +300,18 @@ class AhoCorasick:
             pids, ends = bitap.match_pairs(hs)
             starts = ends - self._dfa.pattern_lens[pids].astype(np.int64)
             return semantics.MatchSet(pids, starts, ends, input.start)
+        if self._engine_mode not in ("dfa-scan", "device-only"):
+            # Pattern set beyond the bit-parallel kernel's bounds: the
+            # native sequential DFA walk (~1 GB/s) beats the gather-bound
+            # device scan for large automatons (see ARCHITECTURE.md).
+            from .automata import native as _native
+
+            got = _native.dfa_positions(self._dfa, hs)
+            if got is not None:
+                ends, sids = got
+                return semantics.extract_match_set_from_positions(
+                    self._dfa, ends, sids, input.start
+                )
         if (
             len(hs) < self._device_threshold
             and self._engine_mode != "device-only"
@@ -411,6 +423,16 @@ class AhoCorasick:
         bitap = self._bitap_engine()
         if bitap is not None:
             return bitap.count_matches(hs)
+        if self._engine_mode not in ("dfa-scan", "device-only"):
+            from .automata import native as _native
+
+            got = _native.dfa_count(self._dfa, hs)
+            if got is not None:
+                extra = 0
+                start_id = self._dfa.special.start_unanchored_id
+                if 2 <= start_id <= self._dfa.special.max_match_id:
+                    extra = int(self._dfa.match_count[start_id])
+                return got + extra
         return self._device_automaton().count_matches(hs)
 
     # ------------------------------------------------------------------

@@ -85,12 +85,73 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ac_copy.restype = None
         lib.ac_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 9
         lib.ac_free.argtypes = [ctypes.c_void_p]
+        lib.ac_dfa_count.restype = ctypes.c_int64
+        lib.ac_dfa_count.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64,
+        ]
+        lib.ac_dfa_positions.restype = ctypes.c_int64
+        lib.ac_dfa_positions.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
         _lib = lib
         return lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def dfa_count(dfa, haystack: bytes) -> Optional[int]:
+    """Native sequential dense-DFA overlapping-match count (~1 GB/s).
+
+    The host fallback for pattern sets beyond the bit-parallel kernel's
+    bounds (the reference's own execution model, dfa.rs:218-226).
+    Returns None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    trans = np.ascontiguousarray(dfa.trans, np.int32)
+    classes = np.ascontiguousarray(dfa.classes, np.uint8)
+    mc = np.ascontiguousarray(dfa.match_count, np.int32)
+    hay = np.frombuffer(haystack, np.uint8)
+    return int(lib.ac_dfa_count(
+        trans.ctypes.data, classes.ctypes.data, mc.ctypes.data,
+        hay.ctypes.data if len(hay) else None, len(hay),
+        dfa.alphabet_len, dfa.special.start_unanchored_id,
+        max(dfa.max_pattern_len - 1, 0),
+    ))
+
+
+def dfa_positions(dfa, haystack: bytes):
+    """Native scan emitting compacted (1-based end, state) match
+    positions, the host analog of DeviceAutomaton.match_positions.
+    Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    trans = np.ascontiguousarray(dfa.trans, np.int32)
+    classes = np.ascontiguousarray(dfa.classes, np.uint8)
+    hay = np.frombuffer(haystack, np.uint8)
+    cap = 4096
+    while True:
+        out_pos = np.zeros(cap, np.int64)
+        out_sid = np.zeros(cap, np.int32)
+        cnt = int(lib.ac_dfa_positions(
+            trans.ctypes.data, classes.ctypes.data,
+            hay.ctypes.data if len(hay) else None, len(hay),
+            dfa.alphabet_len, dfa.special.start_unanchored_id,
+            dfa.special.max_match_id,
+            out_pos.ctypes.data, out_sid.ctypes.data, cap,
+        ))
+        if cnt <= cap:
+            return out_pos[:cnt], out_sid[:cnt].astype(np.int64)
+        cap = 1 << (cnt - 1).bit_length()
 
 
 def compile_native(patterns: List[bytes], match_kind_idx: int,

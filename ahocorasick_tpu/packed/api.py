@@ -109,6 +109,24 @@ class Searcher:
         )
         self._rk = RabinKarp(patterns, ids)
         self._min_len = min(len(p) for p in patterns)
+        # Default engine: the exact bit-parallel kernel (ops/bitap.py)
+        # covers the packed regime (<=128 patterns) directly on TPU; the
+        # Teddy and Rabin-Karp engines remain as forceable backends
+        # (packed/api.rs:137-188 test-only knobs).
+        self._bitap = None
+        if self._force is None:
+            from ..ops.bitap import BitapEngine
+
+            if BitapEngine.eligible(list(patterns)):
+                self._bitap = BitapEngine(list(patterns), False)
+        self._lens = np.array([len(p) for p in patterns], np.int64)
+
+    def _match_set(self, h: bytes):
+        """Full overlapping (pids, starts, ends) via the active engine."""
+        if self._bitap is not None:
+            pids, ends = self._bitap.match_pairs(h)
+            return pids, ends - self._lens[pids], ends
+        return self._teddy.find_matches(h)
 
     @classmethod
     def new(cls, patterns: Iterable) -> Optional["Searcher"]:
@@ -140,7 +158,7 @@ class Searcher:
     def _teddy_find_from(
         self, haystack: bytes, at: int
     ) -> Optional[Match]:
-        pids, starts, ends = self._teddy.find_matches(haystack)
+        pids, starts, ends = self._match_set(haystack)
         keep = starts >= at
         pids, starts, ends = pids[keep], starts[keep], ends[keep]
         if len(pids) == 0:
@@ -194,8 +212,8 @@ class Searcher:
                 yield Match(pid, s, e)
                 at = e
             return
-        # One fingerprint+verify pass; greedy non-overlapping selection.
-        pids, starts, ends = self._teddy.find_matches(h)
+        # One full-match-set pass; greedy non-overlapping selection.
+        pids, starts, ends = self._match_set(h)
         if len(pids) == 0:
             return
         ranks = self._rank_arr[pids]

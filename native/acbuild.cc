@@ -13,6 +13,7 @@
 //
 // Exposed via a C ABI for ctypes (no pybind11 dependency).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -376,5 +377,90 @@ void ac_copy(void* handle, int32_t* fail, int32_t* depth,
 }
 
 void ac_free(void* handle) { delete static_cast<BuildResult*>(handle); }
+
+// ---------------------------------------------------------------------
+// Native dense-DFA search: the host fallback engine for pattern sets
+// beyond the bit-parallel kernel's bounds. This is the reference's hot
+// loop shape (one dependent table load per byte, automaton.rs:1284-1420
+// / dfa.rs:218-226) running at native speed (~1 GB/s), used when the
+// TPU formulations cannot help (very large automatons are gather-bound
+// and TPUs have no fast gather).
+
+// Overlapping-match count: sum of match_count[state] over the walk.
+//
+// The walk is one dependent table load per byte; a single chain is
+// latency-bound, so the haystack is split into `kLanes` segments walked
+// in one interleaved loop (independent dependency chains hide the load
+// latency — the same trick the blocked TPU scan uses with 1024 lanes).
+// Each segment after the first warms up over a `halo` of preceding
+// bytes (the suffix property; util/buffer.rs:113-123).
+int64_t ac_dfa_count(const int32_t* trans, const uint8_t* classes,
+                     const int32_t* match_count, const uint8_t* hay,
+                     int64_t n, int32_t alphabet_len, int32_t start_id,
+                     int64_t halo) {
+  constexpr int kLanes = 8;
+  const int64_t a = alphabet_len;
+  if (n < kLanes * (halo + 64)) {  // tiny input: single chain
+    int64_t total = 0;
+    int32_t s = start_id;
+    for (int64_t i = 0; i < n; ++i) {
+      s = trans[static_cast<int64_t>(s) * a + classes[hay[i]]];
+      total += match_count[s];
+    }
+    return total;
+  }
+  const int64_t seg = (n + kLanes - 1) / kLanes;
+  int64_t begin[kLanes], end[kLanes];
+  int32_t s[kLanes];
+  int64_t total = 0;
+  for (int lane = 0; lane < kLanes; ++lane) {
+    begin[lane] = lane * seg;
+    end[lane] = std::min(n, begin[lane] + seg);
+    // Halo warmup (not counted; lane 0 starts at the true start).
+    int32_t st = start_id;
+    for (int64_t i = std::max<int64_t>(0, begin[lane] - halo);
+         i < begin[lane]; ++i) {
+      st = trans[static_cast<int64_t>(st) * a + classes[hay[i]]];
+    }
+    s[lane] = st;
+  }
+  for (int64_t off = 0; off < seg; ++off) {
+    for (int lane = 0; lane < kLanes; ++lane) {
+      const int64_t i = begin[lane] + off;
+      if (i < end[lane]) {
+        s[lane] =
+            trans[static_cast<int64_t>(s[lane]) * a + classes[hay[i]]];
+        total += match_count[s[lane]];
+      }
+    }
+  }
+  return total;
+}
+
+// Compacted match positions: writes 1-based end offsets and state IDs
+// for every position whose state is a match state (2 <= s <=
+// max_match_id). Returns the total number of match positions; only the
+// first `cap` are written (caller re-calls with a larger cap if
+// needed).
+int64_t ac_dfa_positions(const int32_t* trans, const uint8_t* classes,
+                         const uint8_t* hay, int64_t n,
+                         int32_t alphabet_len, int32_t start_id,
+                         int32_t max_match_id, int64_t* out_pos,
+                         int32_t* out_sid, int64_t cap) {
+  int64_t cnt = 0;
+  int32_t s = start_id;
+  const int64_t a = alphabet_len;
+  for (int64_t i = 0; i < n; ++i) {
+    s = trans[static_cast<int64_t>(s) * a + classes[hay[i]]];
+    if (s >= 2 && s <= max_match_id) {
+      if (cnt < cap) {
+        out_pos[cnt] = i + 1;
+        out_sid[cnt] = s;
+      }
+      ++cnt;
+    }
+  }
+  return cnt;
+}
 
 }  // extern "C"
