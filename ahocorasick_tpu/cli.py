@@ -42,8 +42,13 @@ def main(argv=None) -> int:
     ap.add_argument("--anchored", action="store_true")
     ap.add_argument("--debug", action="store_true",
                     help="print automaton debug info instead of searching")
-    ap.add_argument("--engine", choices=["auto", "oracle", "device-only"],
-                    default="auto")
+    ap.add_argument(
+        "--engine",
+        choices=["auto", "oracle", "device-only", "bitap", "dfa-scan"],
+        default="auto",
+    )
+    ap.add_argument("--count-only", action="store_true",
+                    help="device-reduced overlapping count (fastest)")
     args = ap.parse_args(argv)
 
     from . import AhoCorasick, AhoCorasickKind, Anchored, Input, MatchKind, StartKind
@@ -86,7 +91,9 @@ def main(argv=None) -> int:
         anchored=Anchored.YES if args.anchored else Anchored.NO,
     )
     t0 = time.perf_counter()
-    if args.overlapping:
+    if args.count_only:
+        count = ac.count_matches(inp)
+    elif args.overlapping:
         count = sum(1 for _ in ac.try_find_overlapping_iter(inp))
     else:
         count = sum(1 for _ in ac.try_find_iter(inp))

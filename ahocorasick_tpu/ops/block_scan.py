@@ -17,9 +17,16 @@ per-position states are computed independently by walking from the start
 state over the block plus a ``D``-byte left halo. All B walks advance in
 lockstep: one ``lax.scan`` over ``L + D`` steps carrying a ``[B]`` state
 vector, with each step doing a single vectorized gather
-``trans_flat[state * A + class]``. XLA lowers this to VPU-width gathers
-from a VMEM-resident table — measured at 13-240+ GB/s on a v5e chip,
-versus ~0.86 GB/s for the reference's scalar walk on x86_64.
+``trans_flat[state * A + class]``.
+
+Honest performance note: XLA's data-dependent gather lowers to an
+emulated sequence on TPU (~0.03 GB/s measured with strict timing), so
+this engine is a *correctness* backend — kept for the forced
+``dfa-scan``/``device-only`` modes and as the sharded-scan reference.
+Production traffic uses the gather-free bit-parallel kernel
+(ops/bitap.py, 8-80 GB/s) for pattern sets within its bounds and the
+native interleaved C++ walk (automata/native.py, ~0.6 GB/s) beyond
+them; see ARCHITECTURE.md.
 
 The output is the full per-position state sequence, from which the *entire*
 overlapping match set is derived (states index CSR match lists). All match
