@@ -1,0 +1,137 @@
+"""Error-contract and targeted regression tests.
+
+Mirrors the reference's contract suite (src/tests.rs:1410-1489) and the
+targeted regressions (src/tests.rs:1523-1664): unsupported search modes
+must be rejected with a typed MatchError *regardless of backend
+capability*, and historical prefilter/case-folding bugs stay fixed.
+"""
+
+import pytest
+
+from ahocorasick_tpu import (
+    AhoCorasick,
+    Anchored,
+    Input,
+    MatchError,
+    MatchKind,
+    OverlappingState,
+    StartKind,
+)
+
+
+@pytest.mark.parametrize(
+    "kind", [MatchKind.LEFTMOST_FIRST, MatchKind.LEFTMOST_LONGEST]
+)
+def test_leftmost_rejects_overlapping(kind):
+    """tests.rs:1410-1441 — overlapping requires standard semantics."""
+    ac = AhoCorasick(["foo", "foofoo"], match_kind=kind)
+    with pytest.raises(MatchError) as ei:
+        list(ac.try_find_overlapping_iter(Input("foofoo")))
+    assert ei.value.kind == "unsupported-overlapping"
+    with pytest.raises(MatchError):
+        ac.try_find_overlapping(Input("foofoo"), OverlappingState())
+    with pytest.raises(MatchError):
+        ac.count_matches(Input("foofoo"))
+
+
+def test_standard_supports_overlapping():
+    ac = AhoCorasick(["foo", "foofoo"], match_kind=MatchKind.STANDARD)
+    got = [m.astuple() for m in ac.find_overlapping_iter(Input("foofoo"))]
+    assert got == [(0, 0, 3), (1, 0, 6), (0, 3, 6)]
+
+
+@pytest.mark.parametrize(
+    "start_kind", [StartKind.UNANCHORED, StartKind.BOTH]
+)
+def test_unanchored_accepted(start_kind):
+    ac = AhoCorasick(["b"], start_kind=start_kind)
+    assert ac.find(Input("ab")).astuple() == (0, 1, 2)
+
+
+@pytest.mark.parametrize(
+    "start_kind", [StartKind.ANCHORED, StartKind.BOTH]
+)
+def test_anchored_accepted(start_kind):
+    ac = AhoCorasick(["a"], start_kind=start_kind)
+    inp = Input("ab").set_anchored(Anchored.YES)
+    assert ac.find(inp).astuple() == (0, 0, 1)
+
+
+def test_anchored_rejected_when_unanchored_only():
+    """tests.rs:1460-1489 — request inconsistent with start_kind."""
+    ac = AhoCorasick(["a"], start_kind=StartKind.UNANCHORED)
+    inp = Input("a").set_anchored(Anchored.YES)
+    with pytest.raises(MatchError) as ei:
+        ac.try_find(inp)
+    assert ei.value.kind == "invalid-input-anchored"
+    with pytest.raises(MatchError):
+        list(ac.try_find_iter(inp))
+
+
+def test_unanchored_rejected_when_anchored_only():
+    ac = AhoCorasick(["a"], start_kind=StartKind.ANCHORED)
+    with pytest.raises(MatchError) as ei:
+        ac.try_find(Input("a"))
+    assert ei.value.kind == "invalid-input-unanchored"
+    with pytest.raises(MatchError):
+        list(ac.try_find_iter(Input("a")))
+    with pytest.raises(MatchError):
+        ac.try_replace_all("a", ["b"])
+
+
+def test_anchored_consistency_all_apis():
+    """The consistency check guards every entry point
+    (ahocorasick.rs:2778-2789 applied at each try_* method)."""
+    ac = AhoCorasick(["x"], start_kind=StartKind.ANCHORED)
+    unanchored = Input("x")
+    with pytest.raises(MatchError):
+        list(ac.try_find_overlapping_iter(unanchored))
+    with pytest.raises(MatchError):
+        ac.count_matches(unanchored)
+    assert ac.is_match(Input("xy").set_anchored(Anchored.YES))
+
+
+# ---------------------------------------------------------------------------
+# Targeted regressions (tests.rs:1523-1664)
+# ---------------------------------------------------------------------------
+def test_search_respects_input_span():
+    """tests.rs:1523 — prefilter must not look outside the span."""
+    ac = AhoCorasick(["foo"])
+    hay = "foofoo"
+    got = [m.astuple() for m in ac.find_iter(Input(hay).span(3, 6))]
+    assert got == [(0, 3, 6)]
+    got = [m.astuple() for m in ac.find_iter(Input(hay).span(1, 6))]
+    assert got == [(0, 3, 6)]
+    assert list(ac.find_iter(Input(hay).span(1, 5))) == []
+
+
+def test_case_insensitive_build_not_exponential():
+    """tests.rs:1537 — many case variants must not blow up the build."""
+    pats = ["Sherlock", "Holmes", "Watson", "#&#&_@&#", "BrUh"] * 4
+    ac = AhoCorasick(
+        pats, ascii_case_insensitive=True, match_kind=MatchKind.LEFTMOST_FIRST
+    )
+    m = ac.find(Input("x shERLock y"))
+    assert m is not None and m.astuple()[1:] == (2, 10)
+
+
+def test_rare_byte_prefilter_bounds():
+    """tests.rs:1551/:1559 — rare-byte offsets near pattern ends."""
+    ac = AhoCorasick(["iti"])
+    got = [m.astuple() for m in ac.find_iter(Input("osssssssssssssssiti"))]
+    assert got == [(0, 16, 19)]
+    ac = AhoCorasick(["e_sugar", "s_sugar"])
+    hay = "testing e_sugar and s_sugar yum"
+    got = [m.astuple() for m in ac.find_iter(Input(hay))]
+    assert got == [(0, 8, 15), (1, 20, 27)]
+
+
+def test_earliest_semantics():
+    """Input(earliest=True) returns the leftmost *detectable* match
+    (automaton.rs try_find with earliest)."""
+    ac = AhoCorasick(
+        ["foo", "foofoo"], match_kind=MatchKind.LEFTMOST_LONGEST
+    )
+    assert ac.find(Input("foofoo")).astuple() == (1, 0, 6)
+    got = ac.find(Input("foofoo").set_earliest(True))
+    assert got.astuple() == (0, 0, 3)
