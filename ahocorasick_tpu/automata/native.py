@@ -48,7 +48,8 @@ def _build_so() -> bool:
         return True
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+            ["g++", "-O2", "-shared", "-fPIC", "-pthread", "-std=c++17",
+             _SRC, "-o", _SO],
             check=True,
             capture_output=True,
             timeout=120,
@@ -98,19 +99,42 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.ac_dfa_count_mt.restype = ctypes.c_int64
+        lib.ac_dfa_count_mt.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+        ]
+        lib.ac_dfa_positions_mt.restype = ctypes.c_int64
+        lib.ac_dfa_positions_mt.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ]
         _lib = lib
         return lib
+
+
+def _default_threads(n: int) -> int:
+    """Host shard count for the native walk: all cores for inputs big
+    enough to amortize thread startup, else single-threaded."""
+    if n < (1 << 20):
+        return 1
+    return max(1, os.cpu_count() or 1)
 
 
 def available() -> bool:
     return _load() is not None
 
 
-def dfa_count(dfa, haystack: bytes) -> Optional[int]:
-    """Native sequential dense-DFA overlapping-match count (~1 GB/s).
+def dfa_count(dfa, haystack: bytes,
+              n_threads: Optional[int] = None) -> Optional[int]:
+    """Native dense-DFA overlapping-match count (~1 GB/s/core).
 
     The host fallback for pattern sets beyond the bit-parallel kernel's
-    bounds (the reference's own execution model, dfa.rs:218-226).
+    bounds (the reference's own execution model, dfa.rs:218-226), sharded
+    across host cores with halo warmup for large inputs.
     Returns None when the native library is unavailable.
     """
     lib = _load()
@@ -120,17 +144,21 @@ def dfa_count(dfa, haystack: bytes) -> Optional[int]:
     classes = np.ascontiguousarray(dfa.classes, np.uint8)
     mc = np.ascontiguousarray(dfa.match_count, np.int32)
     hay = np.frombuffer(haystack, np.uint8)
-    return int(lib.ac_dfa_count(
+    if n_threads is None:
+        n_threads = _default_threads(len(hay))
+    return int(lib.ac_dfa_count_mt(
         trans.ctypes.data, classes.ctypes.data, mc.ctypes.data,
         hay.ctypes.data if len(hay) else None, len(hay),
         dfa.alphabet_len, dfa.special.start_unanchored_id,
-        max(dfa.max_pattern_len - 1, 0),
+        max(dfa.max_pattern_len - 1, 0), n_threads,
     ))
 
 
-def dfa_positions(dfa, haystack: bytes):
+def dfa_positions(dfa, haystack: bytes,
+                  n_threads: Optional[int] = None):
     """Native scan emitting compacted (1-based end, state) match
-    positions, the host analog of DeviceAutomaton.match_positions.
+    positions, the host analog of DeviceAutomaton.match_positions —
+    sharded across host cores with halo warmup for large inputs.
     Returns None when the native library is unavailable."""
     lib = _load()
     if lib is None:
@@ -138,16 +166,19 @@ def dfa_positions(dfa, haystack: bytes):
     trans = np.ascontiguousarray(dfa.trans, np.int32)
     classes = np.ascontiguousarray(dfa.classes, np.uint8)
     hay = np.frombuffer(haystack, np.uint8)
+    if n_threads is None:
+        n_threads = _default_threads(len(hay))
     cap = 4096
     while True:
         out_pos = np.zeros(cap, np.int64)
         out_sid = np.zeros(cap, np.int32)
-        cnt = int(lib.ac_dfa_positions(
+        cnt = int(lib.ac_dfa_positions_mt(
             trans.ctypes.data, classes.ctypes.data,
             hay.ctypes.data if len(hay) else None, len(hay),
             dfa.alphabet_len, dfa.special.start_unanchored_id,
             dfa.special.max_match_id,
-            out_pos.ctypes.data, out_sid.ctypes.data, cap,
+            max(dfa.max_pattern_len - 1, 0),
+            out_pos.ctypes.data, out_sid.ctypes.data, cap, n_threads,
         ))
         if cnt <= cap:
             return out_pos[:cnt], out_sid[:cnt].astype(np.int64)

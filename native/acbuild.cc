@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <thread>
 #include <unordered_set>
 #include <vector>
 
@@ -394,29 +395,34 @@ void ac_free(void* handle) { delete static_cast<BuildResult*>(handle); }
 // latency — the same trick the blocked TPU scan uses with 1024 lanes).
 // Each segment after the first warms up over a `halo` of preceding
 // bytes (the suffix property; util/buffer.rs:113-123).
-int64_t ac_dfa_count(const int32_t* trans, const uint8_t* classes,
-                     const int32_t* match_count, const uint8_t* hay,
-                     int64_t n, int32_t alphabet_len, int32_t start_id,
-                     int64_t halo) {
+static int64_t DfaCountRange(const int32_t* trans, const uint8_t* classes,
+                             const int32_t* match_count, const uint8_t* hay,
+                             int64_t b, int64_t e, int64_t a,
+                             int32_t start_id, int64_t halo) {
   constexpr int kLanes = 8;
-  const int64_t a = alphabet_len;
-  if (n < kLanes * (halo + 64)) {  // tiny input: single chain
+  const int64_t len = e - b;
+  if (len <= 0) return 0;
+  if (len < kLanes * (halo + 64)) {  // tiny range: single chain
     int64_t total = 0;
     int32_t s = start_id;
-    for (int64_t i = 0; i < n; ++i) {
+    for (int64_t i = std::max<int64_t>(0, b - halo); i < b; ++i) {
+      s = trans[static_cast<int64_t>(s) * a + classes[hay[i]]];
+    }
+    for (int64_t i = b; i < e; ++i) {
       s = trans[static_cast<int64_t>(s) * a + classes[hay[i]]];
       total += match_count[s];
     }
     return total;
   }
-  const int64_t seg = (n + kLanes - 1) / kLanes;
+  const int64_t seg = (len + kLanes - 1) / kLanes;
   int64_t begin[kLanes], end[kLanes];
   int32_t s[kLanes];
   int64_t total = 0;
   for (int lane = 0; lane < kLanes; ++lane) {
-    begin[lane] = lane * seg;
-    end[lane] = std::min(n, begin[lane] + seg);
-    // Halo warmup (not counted; lane 0 starts at the true start).
+    begin[lane] = b + lane * seg;
+    end[lane] = std::min(e, begin[lane] + seg);
+    // Halo warmup (not counted; a segment at the true start of the
+    // haystack gets no warmup and starts at the unanchored start state).
     int32_t st = start_id;
     for (int64_t i = std::max<int64_t>(0, begin[lane] - halo);
          i < begin[lane]; ++i) {
@@ -434,6 +440,47 @@ int64_t ac_dfa_count(const int32_t* trans, const uint8_t* classes,
       }
     }
   }
+  return total;
+}
+
+int64_t ac_dfa_count(const int32_t* trans, const uint8_t* classes,
+                     const int32_t* match_count, const uint8_t* hay,
+                     int64_t n, int32_t alphabet_len, int32_t start_id,
+                     int64_t halo) {
+  return DfaCountRange(trans, classes, match_count, hay, 0, n,
+                       alphabet_len, start_id, halo);
+}
+
+// Multithreaded count: contiguous haystack shards, one per thread, each
+// warmed up over `halo` preceding bytes — the host-core analog of the
+// multi-chip shard_map path (parallel/shard.py), with the same stitching
+// contract as the stream roll buffer (util/buffer.rs:113-123).
+int64_t ac_dfa_count_mt(const int32_t* trans, const uint8_t* classes,
+                        const int32_t* match_count, const uint8_t* hay,
+                        int64_t n, int32_t alphabet_len, int32_t start_id,
+                        int64_t halo, int32_t n_threads) {
+  if (n_threads > n / (halo + 4096) + 1) {
+    n_threads = static_cast<int32_t>(n / (halo + 4096) + 1);
+  }
+  if (n_threads <= 1) {
+    return DfaCountRange(trans, classes, match_count, hay, 0, n,
+                         alphabet_len, start_id, halo);
+  }
+  std::vector<int64_t> totals(n_threads, 0);
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  const int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    const int64_t b = t * chunk;
+    const int64_t e = std::min(n, b + chunk);
+    threads.emplace_back([=, &totals] {
+      totals[t] = DfaCountRange(trans, classes, match_count, hay, b, e,
+                                alphabet_len, start_id, halo);
+    });
+  }
+  for (auto& th : threads) th.join();
+  int64_t total = 0;
+  for (int64_t v : totals) total += v;
   return total;
 }
 
@@ -456,6 +503,64 @@ int64_t ac_dfa_positions(const int32_t* trans, const uint8_t* classes,
       if (cnt < cap) {
         out_pos[cnt] = i + 1;
         out_sid[cnt] = s;
+      }
+      ++cnt;
+    }
+  }
+  return cnt;
+}
+
+// Multithreaded positions: per-thread shards with halo warmup collect
+// into local buffers, merged in haystack order. Returns the total match
+// position count; only the first `cap` pairs are written.
+int64_t ac_dfa_positions_mt(const int32_t* trans, const uint8_t* classes,
+                            const uint8_t* hay, int64_t n,
+                            int32_t alphabet_len, int32_t start_id,
+                            int32_t max_match_id, int64_t halo,
+                            int64_t* out_pos, int32_t* out_sid,
+                            int64_t cap, int32_t n_threads) {
+  if (n_threads > n / (halo + 4096) + 1) {
+    n_threads = static_cast<int32_t>(n / (halo + 4096) + 1);
+  }
+  if (n_threads <= 1) {
+    return ac_dfa_positions(trans, classes, hay, n, alphabet_len,
+                            start_id, max_match_id, out_pos, out_sid,
+                            cap);
+  }
+  const int64_t a = alphabet_len;
+  struct Local {
+    std::vector<int64_t> pos;
+    std::vector<int32_t> sid;
+  };
+  std::vector<Local> locals(n_threads);
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  const int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    const int64_t b = t * chunk;
+    const int64_t e = std::min(n, b + chunk);
+    threads.emplace_back([=, &locals] {
+      Local& lc = locals[t];
+      int32_t s = start_id;
+      for (int64_t i = std::max<int64_t>(0, b - halo); i < b; ++i) {
+        s = trans[static_cast<int64_t>(s) * a + classes[hay[i]]];
+      }
+      for (int64_t i = b; i < e; ++i) {
+        s = trans[static_cast<int64_t>(s) * a + classes[hay[i]]];
+        if (s >= 2 && s <= max_match_id) {
+          lc.pos.push_back(i + 1);
+          lc.sid.push_back(s);
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  int64_t cnt = 0;
+  for (const Local& lc : locals) {
+    for (size_t i = 0; i < lc.pos.size(); ++i) {
+      if (cnt < cap) {
+        out_pos[cnt] = lc.pos[i];
+        out_sid[cnt] = lc.sid[i];
       }
       ++cnt;
     }

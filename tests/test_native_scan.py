@@ -61,3 +61,23 @@ def test_native_leftmost_kinds():
         got = [m.astuple() for m in ac.find_iter(Input(hay))]
         want = [m.astuple() for m in truth.find_iter(Input(hay))]
         assert got == want
+
+
+def test_multithreaded_walk_matches_single():
+    """The host-core sharded walk (halo warmup + stitch, the same
+    contract as parallel/shard.py) is exact for any thread count."""
+    pats = big_pattern_set(seed=3, n=300)
+    ac = AhoCorasick(pats)
+    dfa = ac._dfa
+    rng = np.random.default_rng(5)
+    hay = bytes(rng.choice(list(b"abcdefgh "), size=(1 << 21) + 777
+                           ).astype(np.uint8))
+    want_count = native.dfa_count(dfa, hay, n_threads=1)
+    want_pos = native.dfa_positions(dfa, hay, n_threads=1)
+    for nt in (2, 3, 7):
+        assert native.dfa_count(dfa, hay, n_threads=nt) == want_count
+        pos, sid = native.dfa_positions(dfa, hay, n_threads=nt)
+        assert np.array_equal(pos, want_pos[0])
+        assert np.array_equal(sid, want_pos[1])
+    # default thread count goes through the mt path on large inputs
+    assert native.dfa_count(dfa, hay) == want_count
