@@ -121,6 +121,7 @@ class AhoCorasick:
         self._device: Optional[DeviceAutomaton] = None
         self._bitap: Optional[BitapEngine] = None
         self._bitap_checked = False
+        self._staged = None
         self._pre = None
         self._pre_checked = False
         self._dense_depth = builder._dense_depth
@@ -222,6 +223,28 @@ class AhoCorasick:
             else:
                 log.debug("bitap ineligible; dense-DFA scan engine")
         return self._bitap
+
+    def _staged_engine(self, n: int):
+        """Two-stage fingerprint-prefilter count engine (ops/staged.py)
+        for large haystacks, or None when ineligible. The TPU analog of
+        the reference's prefilter acceleration (util/prefilter.rs)."""
+        from .ops.staged import StagedEngine
+
+        if self._engine_mode not in ("auto", "bitap"):
+            return None
+        if not StagedEngine.eligible(
+            self._patterns, n, self._case_insensitive
+        ):
+            return None
+        if self._staged is None:
+            self._staged = StagedEngine(
+                self._patterns, self._case_insensitive
+            )
+            log.debug(
+                "staged engine: Kf=%d fingerprint limbs vs K=%d full",
+                self._staged.fp.k, self._staged.full.k,
+            )
+        return self._staged
 
     def _oracle_automaton(self):
         """The automaton backing host walk paths, per the reported kind:
@@ -422,6 +445,11 @@ class AhoCorasick:
         hs = input.haystack[input.start:input.end]
         bitap = self._bitap_engine()
         if bitap is not None:
+            staged = self._staged_engine(len(hs))
+            if staged is not None:
+                got = staged.count_matches(hs)
+                if got is not None:  # None: candidate overflow, rescan
+                    return got
             return bitap.count_matches(hs)
         if self._engine_mode not in ("dfa-scan", "device-only"):
             from .automata import native as _native

@@ -1,0 +1,351 @@
+"""Two-stage staged count: fingerprint prefilter + exact rescan on TPU.
+
+The reference's headline throughput comes from prefilters that skip most
+bytes and hand candidates to the automaton (util/prefilter.rs:33-94,
+packed Teddy). The TPU translation of "skip" is *stream-granular
+filtering*: a cheap stage-1 pass flags which of the thousands of
+lane-parallel streams can possibly contain a match, and the exact
+bit-parallel kernel (ops/bitap.py) rescans only those.
+
+Stage 1 — fingerprint flags. Each pattern contributes its first
+``min(4, len)`` bytes as an exact-prefix chain; all fingerprints pack
+into ``Kf = ceil(sum/32)`` limbs (typically 1 vs the full set's K). One
+baked bitap pass ORs fingerprint end-hits per stream — including the
+halo warmup, so a full match ending just inside a stream's countable
+region (whose fingerprint lands in the halo) still flags it. An absent
+fingerprint hit PROVES the stream has no full-match end: a match of
+pattern p ending at e contains p's fingerprint ending at
+e - len + f <= e, and >= e - (H - 1) so it lies inside the stream's
+scanned window (H >= max_pattern_len - 1 >= len - f).
+
+Stage 2 — exact rescan of candidates. Candidate stream rows (plus their
+halo rows) are gathered on device (row-wise DMA, no host roundtrip) and
+the full-K masked kernel runs over the compacted set, with each lane
+carrying its ORIGINAL stream id so position masking and counting are
+unchanged. Stage 2 is the exact engine, so stage-1 false positives only
+cost time.
+
+Worst case (every stream flagged) degrades to ~stage1 + full cost; the
+facade only routes large counts here, and the expected case —
+match-sparse scans, the reference's own headline regime — runs at
+roughly (1/Kf) : (K * hit_rate) of the full-kernel cost.
+
+Count mode only: extraction already pays for per-position outputs, so
+staging buys little there.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bitap import (
+    LANES,
+    R,
+    BitapTables,
+    _emit_mux_const,
+    _interpret,
+    _pow2,
+)
+
+# Streams shorter than the full engine's: smaller blocks keep the
+# per-stream candidate probability low on sparse inputs.
+STAGED_L = 512
+# Below this haystack size the single-pass engine wins (staging adds a
+# fixed two-kernel + gather overhead).
+STAGED_MIN = 1 << 22
+FINGERPRINT_BYTES = 4
+
+
+def _fingerprints(patterns: List[bytes]) -> List[bytes]:
+    return [p[:FINGERPRINT_BYTES] for p in patterns]
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: per-stream fingerprint flags (baked tables, halo hits counted)
+# ---------------------------------------------------------------------------
+def _make_flags_kernel(lo_c, hi_c, sm_c, em_c, K: int, Lc: int, H: int):
+    Wc = Lc // 4
+    Hw = H // 4
+
+    def kernel(halo_ref, body_ref, flag_ref, ms_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        def advance(ms, b):
+            bits = [(b & (1 << t)) != 0 for t in range(8)]
+            nms, hit = [], None
+            carry = jnp.zeros((R, 128), jnp.int32)
+            for k in range(K):
+                lo_t = _emit_mux_const(bits[:4], lo_c[k])
+                hi_t = _emit_mux_const(bits[4:], hi_c[k])
+                if lo_t is None or hi_t is None:
+                    cm = jnp.zeros((R, 128), jnp.int32)
+                else:
+                    cm = lo_t & hi_t
+                nm = ((ms[k] << 1) | carry | sm_c[k]) & cm
+                carry = lax.shift_right_logical(ms[k], 31) & 1
+                nms.append(nm)
+                if em_c[k]:
+                    h = nm & em_c[k]
+                    hit = h if hit is None else (hit | h)
+            return nms, hit
+
+        @pl.when(j == 0)
+        def _warmup():
+            # Unlike the count kernel, halo hits are ORed into the flag:
+            # a fingerprint that ends in the halo still marks the stream.
+            def hstep(w, carry):
+                ms, fl = carry
+                word = halo_ref[w]
+                for jj in range(4):
+                    b = lax.shift_right_logical(word, 8 * jj) & 255
+                    ms, hit = advance(ms, b)
+                    if hit is not None:
+                        fl = fl | hit
+                return ms, fl
+            z = [jnp.zeros((R, 128), jnp.int32)] * K
+            fl0 = jnp.zeros((R, 128), jnp.int32)
+            if Hw:
+                ms, fl0 = lax.fori_loop(0, Hw, hstep, (z, fl0))
+            else:
+                ms = z
+            row = lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+            col = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+            first = ((i * R + row) * 128 + col) == 0
+            for k in range(K):
+                ms_ref[k] = jnp.where(first, 0, ms[k])
+            flag_ref[0] = jnp.where(first, 0, fl0)
+
+        def step(w, carry):
+            ms, fl = carry
+            word = body_ref[w]
+            for jj in range(4):
+                b = lax.shift_right_logical(word, 8 * jj) & 255
+                ms, hit = advance(ms, b)
+                if hit is not None:
+                    fl = fl | hit
+            return ms, fl
+
+        ms0 = [ms_ref[k] for k in range(K)]
+        ms, fl = lax.fori_loop(0, Wc, step, (ms0, flag_ref[0]))
+        for k in range(K):
+            ms_ref[k] = ms[k]
+        flag_ref[0] = fl
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: exact count over gathered candidate streams
+# ---------------------------------------------------------------------------
+def _make_gathered_kernel(lo_c, hi_c, sm_c, em_c, K: int, L: int, Lc: int,
+                          H: int):
+    """Baked exact kernel over compacted streams: lane (r, c) of tile i
+    carries original stream id sid_ref[0, r, c] (-1 = padding lane); the
+    count window is [n0, n) in ORIGINAL haystack coordinates."""
+    Wc = Lc // 4
+    Hw = H // 4
+
+    def kernel(nn_ref, sid_ref, halo_ref, body_ref, cnt_ref, ms_ref):
+        j = pl.program_id(1)
+        sid = sid_ref[0]
+        n0 = nn_ref[0]
+        n = nn_ref[1]
+
+        def advance(ms, b):
+            bits = [(b & (1 << t)) != 0 for t in range(8)]
+            nms, hits = [], []
+            carry = jnp.zeros((R, 128), jnp.int32)
+            for k in range(K):
+                lo_t = _emit_mux_const(bits[:4], lo_c[k])
+                hi_t = _emit_mux_const(bits[4:], hi_c[k])
+                if lo_t is None or hi_t is None:
+                    cm = jnp.zeros((R, 128), jnp.int32)
+                else:
+                    cm = lo_t & hi_t
+                nm = ((ms[k] << 1) | carry | sm_c[k]) & cm
+                carry = lax.shift_right_logical(ms[k], 31) & 1
+                nms.append(nm)
+                hits.append(nm & em_c[k] if em_c[k] else None)
+            return nms, hits
+
+        @pl.when(j == 0)
+        def _warmup():
+            def hstep(w, ms):
+                word = halo_ref[w]
+                for jj in range(4):
+                    b = lax.shift_right_logical(word, 8 * jj) & 255
+                    ms, _ = advance(ms, b)
+                return ms
+            z = [jnp.zeros((R, 128), jnp.int32)] * K
+            ms = lax.fori_loop(0, Hw, hstep, z) if Hw else z
+            first = sid == 0  # original stream 0: halo wraps, reset
+            for k in range(K):
+                ms_ref[k] = jnp.where(first, 0, ms[k])
+            cnt_ref[0] = jnp.zeros((R, 128), jnp.int32)
+
+        pos_base = sid * L + j * Lc
+
+        def step(w, carry):
+            ms, acc = carry
+            word = body_ref[w]
+            for jj in range(4):
+                b = lax.shift_right_logical(word, 8 * jj) & 255
+                ms, hits = advance(ms, b)
+                pos = pos_base + (w * 4 + jj)
+                ok = (sid >= 0) & (pos >= n0) & (pos < n)
+                for k in range(K):
+                    if hits[k] is None:
+                        continue
+                    acc = acc + lax.population_count(
+                        jnp.where(ok, hits[k], 0)
+                    )
+            return ms, acc
+
+        ms0 = [ms_ref[k] for k in range(K)]
+        ms, acc = lax.fori_loop(0, Wc, step, (ms0, cnt_ref[0]))
+        for k in range(K):
+            ms_ref[k] = ms[k]
+        cnt_ref[0] = acc
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=128)
+def _staged_jit(fp_key, full_key, Kf: int, K: int, L: int, Lc: int,
+                H: int, tiles: int, cap: int):
+    """One fused jit: stage-1 flags -> device gather -> stage-2 count.
+
+    Returns fn(x32, nn) -> (total, n_candidates); `total` is only valid
+    when n_candidates <= cap (the facade falls back to the single-pass
+    engine otherwise).
+    """
+    flags_kernel = _make_flags_kernel(*fp_key[:2], fp_key[2], fp_key[3],
+                                      Kf, Lc, H)
+    gath_kernel = _make_gathered_kernel(*full_key[:2], full_key[2],
+                                        full_key[3], K, L, Lc, H)
+    ns = tiles * LANES
+    Wb = L // 4
+    Hw = H // 4
+    nchunks = L // Lc
+    Wc = Lc // 4
+    tiles_c = cap // LANES
+
+    def fn(x32, nn):
+        rows = x32.reshape(ns, Wb)
+        hrows = jnp.roll(x32, Hw).reshape(ns, Wb)[:, :Hw]
+        body = rows.T.reshape(Wb, ns // 128, 128)
+        halo = hrows.T.reshape(Hw, ns // 128, 128)
+        flags = pl.pallas_call(
+            flags_kernel,
+            grid=(tiles, nchunks),
+            in_specs=[
+                pl.BlockSpec((Hw, R, 128), lambda i, j: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Wc, R, 128), lambda i, j: (j, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[pl.BlockSpec((1, R, 128), lambda i, j: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((tiles, R, 128), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((Kf, R, 128), jnp.int32)],
+            interpret=_interpret(),
+        )(halo, body)
+        # [tiles, R, 128] C-order flatten IS stream order:
+        # stream s = (tile*R + row)*128 + col.
+        fl = flags[0].reshape(ns)
+        is_cand = fl != 0
+        ncand = jnp.sum(is_cand.astype(jnp.int32))
+        (cand,) = jnp.nonzero(is_cand, size=cap, fill_value=-1)
+        safe = jnp.maximum(cand, 0)
+        grows = jnp.take(rows, safe, axis=0)
+        ghalo = jnp.take(hrows, safe, axis=0)
+        gbody = grows.T.reshape(Wb, cap // 128, 128)
+        ghal = ghalo.T.reshape(Hw, cap // 128, 128)
+        sid_t = cand.reshape(tiles_c, R, 128).astype(jnp.int32)
+        counts = pl.pallas_call(
+            gath_kernel,
+            grid=(tiles_c, nchunks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # nn [2]
+                pl.BlockSpec((1, R, 128), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Hw, R, 128), lambda i, j: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Wc, R, 128), lambda i, j: (j, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[pl.BlockSpec((1, R, 128), lambda i, j: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((tiles_c, R, 128), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((K, R, 128), jnp.int32)],
+            interpret=_interpret(),
+        )(nn, sid_t, ghal, gbody)
+        return jnp.sum(counts[0]), ncand
+
+    return jax.jit(fn)
+
+
+class StagedEngine:
+    """Count-mode engine: fingerprint prefilter + exact rescan."""
+
+    def __init__(self, patterns: List[bytes], case_insensitive: bool):
+        self.patterns = patterns
+        self.full = BitapTables(patterns, case_insensitive)
+        self.fp = BitapTables(_fingerprints(patterns), case_insensitive)
+        h = max(self.full.max_pattern_len - 1, 1)
+        self.halo = max(_pow2(h), 4)
+
+    @classmethod
+    def eligible(cls, patterns: List[bytes], n: int,
+                 case_insensitive: bool = False) -> bool:
+        from .bitap import BitapEngine
+
+        if n < STAGED_MIN or not BitapEngine.eligible(patterns):
+            return False
+        fp = _fingerprints(patterns)
+        # Staging pays off when fingerprints are materially cheaper.
+        kf = (sum(len(p) for p in fp) + 31) // 32
+        k = (sum(len(p) for p in patterns) + 31) // 32
+        if kf * 2 > k:
+            return False
+        # Both stages run pad-padded (no position masking in stage 1).
+        tables = BitapTables(patterns, case_insensitive)
+        return tables.pad_byte is not None
+
+    def _layout(self, n: int) -> Tuple[int, int, int]:
+        L = max(self.halo, STAGED_L)
+        tiles = max(1, _pow2(-(-n // (LANES * L))))
+        Lc = min(L, 512)
+        return L, Lc, tiles
+
+    def count_matches(self, hs: bytes) -> Optional[int]:
+        """Exact overlapping-match count, or None when the candidate set
+        overflowed the gather capacity (caller falls back)."""
+        n = len(hs)
+        if n == 0:
+            return 0
+        L, Lc, tiles = self._layout(n)
+        ns = tiles * LANES
+        cap = max(LANES, _pow2(ns // 4))
+        pad = self.full.pad_byte
+        assert pad is not None
+        total_b = ns * L
+        buf = np.full(total_b, pad, np.uint8)
+        buf[:n] = np.frombuffer(hs, np.uint8)
+        x32 = jnp.asarray(buf.view(np.int32))
+        fn = _staged_jit(self.fp.baked_key(), self.full.baked_key(),
+                         self.fp.k, self.full.k, L, Lc, self.halo,
+                         tiles, cap)
+        total, ncand = fn(x32, jnp.asarray([0, n], jnp.int32))
+        if int(ncand) > cap:
+            return None
+        return int(total)

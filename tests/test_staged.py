@@ -1,0 +1,104 @@
+"""Two-stage fingerprint-prefilter count engine (ops/staged.py).
+
+The staged count must equal the single-pass bitap count exactly: stage 1
+may only over-approximate the candidate stream set (false positives cost
+time, false negatives are forbidden — matches whose fingerprint lands in
+a stream's halo are the adversarial case planted here).
+"""
+
+import numpy as np
+import pytest
+
+from ahocorasick_tpu import AhoCorasick
+from ahocorasick_tpu.ops.bitap import BitapEngine
+from ahocorasick_tpu.ops.staged import STAGED_L, StagedEngine
+
+PATS = [b"Sherlock Holmes", b"John Watson", b"Irene Adler",
+        b"Inspector Lestrade", b"Professor Moriarty"]
+
+
+def plant(buf: bytearray, at: int, pat: bytes):
+    buf[at:at + len(pat)] = pat
+
+
+def make_hay(n=3 * STAGED_L * 1024, seed=0) -> bytes:
+    """Sparse hits, including matches straddling stream boundaries and
+    matches whose fingerprint ends inside the previous stream."""
+    rng = np.random.default_rng(seed)
+    buf = bytearray(rng.integers(97, 123, size=n, dtype=np.uint8)
+                    .tobytes())
+    for i, at in enumerate(range(1000, n - 64, 7919)):
+        plant(buf, at, PATS[i % len(PATS)])
+    # Straddle every flavor of stream-boundary offset.
+    for s in range(1, 6):
+        edge = s * STAGED_L
+        for off in (1, 4, 7, 14):
+            p = PATS[off % len(PATS)]
+            plant(buf, edge - off, p)  # starts before, ends after edge
+    return bytes(buf)
+
+
+def test_staged_count_matches_bitap():
+    hay = make_hay()
+    bit = BitapEngine(PATS, False)
+    st = StagedEngine(PATS, False)
+    want = bit.count_matches(hay)
+    got = st.count_matches(hay)
+    assert got is not None and got == want and want > 0
+
+
+def test_staged_matches_on_boundary_heavy_input():
+    """Every match crosses a boundary or sits at the very start/end."""
+    n = STAGED_L * 1024 + 333
+    buf = bytearray(b"." * n)
+    plant(buf, 0, PATS[0])
+    plant(buf, n - len(PATS[1]), PATS[1])
+    for s in range(1, n // STAGED_L, 7):
+        plant(buf, s * STAGED_L - 5, PATS[2])
+    hay = bytes(buf)
+    bit = BitapEngine(PATS, False)
+    st = StagedEngine(PATS, False)
+    got = st.count_matches(hay)
+    assert got is not None  # sparse enough to stay under the cap
+    assert got == bit.count_matches(hay)
+
+
+def test_staged_dense_overflow_falls_back():
+    """All-candidate input overflows the gather capacity -> None, and
+    the facade transparently falls back to the single-pass engine."""
+    pats = [b"Sherlock Holmes"]
+    n = STAGED_L * 1024
+    hay = (b"Sherlock Holmes " * (n // 16))[:n]
+    st = StagedEngine(pats, False)
+    got = st.count_matches(hay)
+    want = BitapEngine(pats, False).count_matches(hay)
+    assert got is None or got == want
+
+
+def test_staged_case_insensitive():
+    hay = bytearray(make_hay(n=STAGED_L * 1024))
+    plant(hay, 50_000, b"sHERLOCK hOLMES")
+    hay = bytes(hay)
+    bit = BitapEngine(PATS, True)
+    st = StagedEngine(PATS, True)
+    assert st.count_matches(hay) == bit.count_matches(hay)
+
+
+def test_eligibility_rules():
+    assert not StagedEngine.eligible(PATS, 1 << 10)  # too small
+    # fingerprints not materially cheaper: short patterns
+    assert not StagedEngine.eligible(
+        [b"ab", b"cd"], 1 << 24
+    )
+    assert StagedEngine.eligible(PATS, 1 << 24)
+
+
+def test_facade_count_uses_staged_path(monkeypatch):
+    ac = AhoCorasick([p.decode() for p in PATS])
+    hay = make_hay(n=STAGED_L * 1024)
+    import ahocorasick_tpu.ops.staged as sg
+
+    monkeypatch.setattr(sg, "STAGED_MIN", 1 << 16)
+    want = ac._bitap_engine().count_matches(hay)
+    assert ac.count_matches(hay) == want
+    assert ac._staged is not None  # staged path actually engaged
