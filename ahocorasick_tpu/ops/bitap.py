@@ -371,26 +371,57 @@ def _make_baked_kernel(lo_c, hi_c, sm_c, em_c,
     return kernel
 
 
+@functools.partial(jax.jit, static_argnames=("L", "tiles", "H"))
+def _to_stream_major(x32, L: int, tiles: int, H: int):
+    """Transpose packed words to the kernel's stream-major layout.
+
+    Done ONCE at upload time (see PackedHaystack): the transpose reads
+    and writes the whole buffer, which measurably halved the baked
+    kernel's effective throughput when it ran inside every scan call.
+    """
+    Bp = tiles * LANES
+    Wb = L // 4
+    Hw = H // 4
+    body = x32.reshape(Bp, Wb).T.reshape(Wb, Bp // 128, 128)
+    halo = jnp.roll(x32, Hw).reshape(Bp, Wb)[:, :Hw].T
+    halo = halo.reshape(Hw, Bp // 128, 128)
+    return halo, body
+
+
+class PackedHaystack:
+    """A haystack resident in HBM in kernel layout: upload once, search
+    many times. Production deployments keep the corpus device-resident;
+    engine entry points accept either raw bytes (packed + uploaded per
+    call) or a PackedHaystack."""
+
+    __slots__ = ("n", "L", "Lc", "tiles", "baked", "halo_a", "body", "hs")
+
+    def __init__(self, n, L, Lc, tiles, baked, halo_a, body, hs=None):
+        self.n = n
+        self.L = L
+        self.Lc = Lc
+        self.tiles = tiles
+        self.baked = baked      # packed with the engine's pad byte
+        self.halo_a = halo_a    # [Hw, tiles*R, 128] int32, stream-major
+        self.body = body        # [Wb, tiles*R, 128] int32, stream-major
+        self.hs = hs            # original bytes (chunked-extract fallback)
+
+
 @functools.lru_cache(maxsize=256)
 def _baked_jit(tables_key, K: int, L: int, Lc: int, H: int, tiles: int,
                extract: bool):
     """Jitted entry for one (pattern set, layout) pair, cached.
 
-    Count mode: fn(x32) -> total. Extract mode: fn(x32, cap) -> (total,
-    nnzw, idx, vals) with the word compaction fused into the same
-    dispatch."""
+    Count mode: fn(halo, body) -> total. Extract mode: fn(halo, body,
+    cap) -> (total, nnzw, idx, vals) with the word compaction fused into
+    the same dispatch. halo/body are stream-major (_to_stream_major)."""
     lo_c, hi_c, sm_c, em_c = tables_key
     kernel = _make_baked_kernel(lo_c, hi_c, sm_c, em_c, K, Lc, H, extract)
-    Bp = tiles * LANES
-    Wb = L // 4
     Hw = H // 4
     nchunks = L // Lc
     Wc = Lc // 4
 
-    def fn(x32, cap=None):
-        body = x32.reshape(Bp, Wb).T.reshape(Wb, Bp // 128, 128)
-        halo = jnp.roll(x32, Hw).reshape(Bp, Wb)[:, :Hw].T
-        halo = halo.reshape(Hw, Bp // 128, 128)
+    def fn(halo, body, cap=None):
         out_shapes = [jax.ShapeDtypeStruct((tiles, R, 128), jnp.int32)]
         out_specs = [pl.BlockSpec((1, R, 128), lambda i, j: (i, 0, 0),
                                   memory_space=pltpu.VMEM)]
@@ -436,23 +467,15 @@ def _baked_jit(tables_key, K: int, L: int, Lc: int, H: int, tiles: int,
     jax.jit,
     static_argnames=("K", "L", "Lc", "H", "tiles", "extract"),
 )
-def _bitap_call(lo, hi, sm, em, x32, n,
+def _bitap_call(lo, hi, sm, em, halo, body, n,
                 K: int, L: int, Lc: int, H: int, tiles: int,
                 extract: bool):
-    """Device entry: transpose to stream-major words and run the kernel.
+    """Device entry: run the table-generic kernel over stream-major words.
 
-    x32: int32 [tiles * LANES * L / 4] packed haystack words.
+    halo/body come from `_to_stream_major` (hoisted to upload time).
     Returns (total_count, words or None).
     """
-    Bp = tiles * LANES
-    Wb = L // 4
     Hw = H // 4
-    body = x32.reshape(Bp, Wb).T.reshape(Wb, Bp // 128, 128)
-    if Hw:
-        halo = jnp.roll(x32, Hw).reshape(Bp, Wb)[:, :Hw].T
-        halo = halo.reshape(Hw, Bp // 128, 128)
-    else:
-        halo = jnp.zeros((1, Bp // 128, 128), jnp.int32)
     nchunks = L // Lc
     Wc = Lc // 4
     kernel = _make_kernel(K, L, Lc, H, extract)
@@ -496,7 +519,7 @@ def _bitap_call(lo, hi, sm, em, x32, n,
     jax.jit,
     static_argnames=("K", "L", "Lc", "H", "tiles", "cap"),
 )
-def _extract_compact(lo, hi, sm, em, x32, n,
+def _extract_compact(lo, hi, sm, em, halo, body, n,
                      K: int, L: int, Lc: int, H: int, tiles: int,
                      cap: int):
     """Single-dispatch extraction: kernel + on-device word compaction.
@@ -506,7 +529,7 @@ def _extract_compact(lo, hi, sm, em, x32, n,
     the (out-of-range) word array size. One device roundtrip total — the
     full words array never leaves the device.
     """
-    total, words = _bitap_call(lo, hi, sm, em, x32, n,
+    total, words = _bitap_call(lo, hi, sm, em, halo, body, n,
                                K=K, L=L, Lc=Lc, H=H, tiles=tiles,
                                extract=True)
     flat = words.reshape(-1)
@@ -573,29 +596,45 @@ class BitapEngine:
         return self._dev_args
 
     # ------------------------------------------------------------------
-    def count_matches(self, hs: bytes) -> int:
+    def prepare(self, hs: bytes) -> PackedHaystack:
+        """Upload a haystack into the device-resident kernel layout.
+
+        Packing and the stream-major transpose happen once here; every
+        subsequent count/extract call on the PackedHaystack dispatches
+        the scan kernel directly (the production repeated-search path).
+        """
         n = len(hs)
-        if n == 0:
+        L, Lc, tiles = self._layout(max(n, 1))
+        baked = self._use_baked(n)
+        pad = self.tables.pad_byte if baked else 0
+        x32 = jax.device_put(self._pack(hs, L, tiles, pad=pad))
+        halo_a, body = _to_stream_major(x32, L, tiles, self.halo)
+        return PackedHaystack(n, L, Lc, tiles, baked, halo_a, body, hs)
+
+    def count_matches(self, hs) -> int:
+        ph = hs if isinstance(hs, PackedHaystack) else self.prepare(hs)
+        if ph.n == 0:
             return 0
-        L, Lc, tiles = self._layout(n)
-        if self._use_baked(n):
+        if ph.baked:
             fn = _baked_jit(self.tables.baked_key(), self.tables.k,
-                            L, Lc, self.halo, tiles, False)
-            x32 = self._pack(hs, L, tiles, pad=self.tables.pad_byte)
-            return int(fn(x32))
-        x32 = self._pack(hs, L, tiles)
+                            ph.L, ph.Lc, self.halo, ph.tiles, False)
+            return int(fn(ph.halo_a, ph.body))
         lo, hi, sm, em = self._args()
         total, _ = _bitap_call(
-            lo, hi, sm, em, x32, jnp.asarray([0, n], jnp.int32),
-            K=self.tables.k, L=L, Lc=Lc, H=self.halo, tiles=tiles,
+            lo, hi, sm, em, ph.halo_a, ph.body,
+            jnp.asarray([0, ph.n], jnp.int32),
+            K=self.tables.k, L=ph.L, Lc=ph.Lc, H=self.halo, tiles=ph.tiles,
             extract=False,
         )
         return int(total)
 
-    def match_pairs(self, hs: bytes) -> Tuple[np.ndarray, np.ndarray]:
+    def match_pairs(self, hs) -> Tuple[np.ndarray, np.ndarray]:
         """All overlapping matches as (pids, ends) host arrays, in the
         reference's overlapping report order (end asc, length desc,
         pid asc). ``ends`` are 1-based end offsets."""
+        ph = hs if isinstance(hs, PackedHaystack) else None
+        if ph is not None:
+            hs = ph.hs
         n = len(hs)
         t = self.tables
         if n == 0:
@@ -616,27 +655,27 @@ class BitapEngine:
                 all_ends.append(ends[keep] + lo_)
                 base = hi_
             return (np.concatenate(all_pids), np.concatenate(all_ends))
-        L, Lc, tiles = self._layout(n)
+        if ph is None:
+            ph = self.prepare(hs)
+        L, tiles, baked = ph.L, ph.tiles, ph.baked
+        Lc = ph.Lc
         # Cap extraction VMEM: words block is Lc*K*4 KiB.
         while Lc * t.k > 1024 and Lc > 4:
             Lc //= 2
-        baked = self._use_baked(n)
         if baked:
             fn = _baked_jit(t.baked_key(), t.k, L, Lc, self.halo,
                             tiles, True)
-            x32 = self._pack(hs, L, tiles, pad=t.pad_byte)
         else:
-            x32 = self._pack(hs, L, tiles)
             lo, hi, sm, em = self._args()
             nn = jnp.asarray([0, n], jnp.int32)
         words_size = tiles * L * t.k * LANES
         cap = 4096
         while True:
             if baked:
-                total, nnzw, idx, vals = fn(x32, cap=cap)
+                total, nnzw, idx, vals = fn(ph.halo_a, ph.body, cap=cap)
             else:
                 total, nnzw, idx, vals = _extract_compact(
-                    lo, hi, sm, em, x32, nn,
+                    lo, hi, sm, em, ph.halo_a, ph.body, nn,
                     K=t.k, L=L, Lc=Lc, H=self.halo, tiles=tiles,
                     cap=cap,
                 )

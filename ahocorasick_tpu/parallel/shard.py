@@ -195,7 +195,7 @@ def sharded_bitap_count(
     shift-AND kernel on its shard with the count window set to exclude
     the halo; partial counts psum over ICI, one scalar returns.
     """
-    from ..ops.bitap import LANES, _bitap_call
+    from ..ops.bitap import LANES, _bitap_call, _to_stream_major
 
     if mesh is None:
         mesh = make_mesh()
@@ -233,8 +233,9 @@ def sharded_bitap_count(
         check_vma=False,
     )
     def run(lo, hi, sm, em, rows32, nn):
+        halo_a, body = _to_stream_major(rows32[0], L, tiles, halo)
         total, _ = _bitap_call(
-            lo, hi, sm, em, rows32[0], nn[0],
+            lo, hi, sm, em, halo_a, body, nn[0],
             K=t.k, L=L, Lc=Lc, H=halo, tiles=tiles, extract=False,
         )
         return lax.psum(total, "d")

@@ -94,34 +94,32 @@ def main():
     log(f"host count = {expect}")
 
     eng = B.BitapEngine(patterns, False)
-    L, Lc, tiles = eng._layout(n)
     K = eng.tables.k
-    assert eng._use_baked(n)
+    # The production repeated-search path: upload once (pack + stream-major
+    # transpose on device), then each search is one kernel dispatch.
+    ph = eng.prepare(haystack)
+    assert ph.baked
     count_fn = B._baked_jit(
-        eng.tables.baked_key(), K, L, Lc, eng.halo, tiles, False
+        eng.tables.baked_key(), K, ph.L, ph.Lc, eng.halo, ph.tiles, False
     )
-    x32 = jax.device_put(
-        eng._pack(haystack, L, tiles, pad=eng.tables.pad_byte)
-    )
-    log(f"K={K} L={L} Lc={Lc} tiles={tiles} halo={eng.halo} "
+    log(f"K={K} L={ph.L} Lc={ph.Lc} tiles={ph.tiles} halo={eng.halo} "
         f"pad={eng.tables.pad_byte}")
 
     @functools.partial(jax.jit, static_argnames=("reps",))
-    def chained(x32, reps):
+    def chained(halo_a, body, reps):
         total = jnp.int32(0)
-        x = x32
         for _ in range(reps):
-            total = total + count_fn(x)
-            x, total = jax.lax.optimization_barrier((x, total))
+            total = total + count_fn(halo_a, body)
+            body, total = jax.lax.optimization_barrier((body, total))
         return total
 
     def t_at(reps: int, iters: int = 4) -> float:
-        out = int(chained(x32, reps))
+        out = int(chained(ph.halo_a, ph.body, reps))
         assert out == expect * reps, (out, expect * reps)
         best = float("inf")
         for _ in range(iters):
             t0 = time.perf_counter()
-            int(chained(x32, reps))
+            int(chained(ph.halo_a, ph.body, reps))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -58,43 +58,42 @@ def device_count_gbps(patterns, hay, r_lo=4, r_hi=16):
 
     n = len(hay)
     eng = B.BitapEngine(patterns, False)
-    L, Lc, tiles = eng._layout(n)
-    if eng._use_baked(n):
-        fn = B._baked_jit(eng.tables.baked_key(), eng.tables.k, L, Lc,
-                          eng.halo, tiles, False)
-        x32 = jax.device_put(
-            eng._pack(hay, L, tiles, pad=eng.tables.pad_byte)
-        )
+    ph = eng.prepare(hay)
+    if ph.baked:
+        baked = B._baked_jit(eng.tables.baked_key(), eng.tables.k, ph.L,
+                             ph.Lc, eng.halo, ph.tiles, False)
+
+        def fn(h, b):
+            return baked(h, b)
     else:
         lo, hi, sm, em = eng._args()
         nn = jnp.asarray([0, n], jnp.int32)
-        x32 = jax.device_put(eng._pack(hay, L, tiles))
 
-        def fn(x):
-            t, _ = B._bitap_call(lo, hi, sm, em, x, nn, K=eng.tables.k,
-                                 L=L, Lc=Lc, H=eng.halo, tiles=tiles,
-                                 extract=False)
+        def fn(h, b):
+            t, _ = B._bitap_call(lo, hi, sm, em, h, b, nn, K=eng.tables.k,
+                                 L=ph.L, Lc=ph.Lc, H=eng.halo,
+                                 tiles=ph.tiles, extract=False)
             return t
 
     @functools.partial(jax.jit, static_argnames=("reps",))
-    def chained(x, reps):
+    def chained(h, b, reps):
         total = jnp.int32(0)
         for _ in range(reps):
-            total = total + fn(x)
-            x, total = jax.lax.optimization_barrier((x, total))
+            total = total + fn(h, b)
+            b, total = jax.lax.optimization_barrier((b, total))
         return total
 
     def t_at(reps, iters=3):
-        int(chained(x32, reps))
+        int(chained(ph.halo_a, ph.body, reps))
         best = float("inf")
         for _ in range(iters):
             t0 = time.perf_counter()
-            int(chained(x32, reps))
+            int(chained(ph.halo_a, ph.body, reps))
             best = min(best, time.perf_counter() - t0)
         return best
 
     per = (t_at(r_hi) - t_at(r_lo)) / (r_hi - r_lo)
-    count = int(chained(x32, 1))
+    count = int(chained(ph.halo_a, ph.body, 1))
     return n / per / 1e9, count, eng.tables.k
 
 
