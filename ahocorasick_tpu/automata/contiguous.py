@@ -204,10 +204,9 @@ def build_contiguous(nfa: NFA, dense_depth: int = 3) -> ContiguousNFA:
 
     flat = np.concatenate(words)
     if pos >= _NEXT_LIMIT:
-        raise BuildError(
-            f"contiguous NFA exceeds the 2^24 offset limit ({pos} words); "
-            "use the noncontiguous NFA or DFA backend"
-        )
+        # State IDs in the contiguous encoding are word offsets into
+        # `repr`, capped at 2^24-1 (cf. contiguous.rs:414-418).
+        raise BuildError.state_id_overflow(_NEXT_LIMIT - 1, pos)
     # Remap original state IDs -> offsets. DEAD(0)/FAIL(1) map to selves.
     remap = np.zeros(N, np.int64)
     remap[0], remap[1] = DEAD, FAIL

@@ -336,6 +336,12 @@ def compile_nfa(
     if len(patterns) == 0:
         min_len = 0
 
+    # State-id-overflow contract (util/primitives.rs:92-117): the trie
+    # states plus the DEAD/FAIL sentinels and the anchored start copy must
+    # all be representable as SmallIndex IDs.
+    if len(trans) + 3 > MAX_SMALL_INDEX:
+        raise BuildError.state_id_overflow(MAX_SMALL_INDEX, len(trans) + 3)
+
     classes = byteset.byte_classes()
     alphabet_len = int(classes.max()) + 1
 

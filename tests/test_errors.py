@@ -92,6 +92,52 @@ def test_anchored_consistency_all_apis():
 
 
 # ---------------------------------------------------------------------------
+# Build-error contracts (util/error.rs:23-49)
+# ---------------------------------------------------------------------------
+def test_contiguous_state_id_overflow(monkeypatch):
+    """The contiguous encoding caps state IDs (= repr offsets) at 2^24-1
+    (contiguous.rs:414-418); exceeding it must raise a typed BuildError,
+    not a TypeError. The limit is monkeypatched down so the test does not
+    have to materialize a 16M-word automaton."""
+    from ahocorasick_tpu.automata import contiguous, noncontiguous
+    from ahocorasick_tpu.utils.errors import BuildError
+
+    monkeypatch.setattr(contiguous, "_NEXT_LIMIT", 16)
+    nfa = noncontiguous.compile_nfa(
+        [b"abcdef", b"ghijkl", b"mnopqr"], builder="python"
+    )
+    with pytest.raises(BuildError) as ei:
+        contiguous.build_contiguous(nfa, 3)
+    assert ei.value.kind == "state-id-overflow"
+
+
+def test_noncontiguous_state_id_overflow(monkeypatch):
+    """util/primitives.rs:92-117 — allocating more states than SmallIndex
+    can identify fails with state-id-overflow."""
+    from ahocorasick_tpu.automata import noncontiguous
+    from ahocorasick_tpu.utils.errors import BuildError
+
+    monkeypatch.setattr(noncontiguous, "MAX_SMALL_INDEX", 8)
+    with pytest.raises(BuildError) as ei:
+        noncontiguous.compile_nfa(
+            [b"abc", b"def", b"ghi"], builder="python"
+        )
+    assert ei.value.kind == "state-id-overflow"
+
+
+def test_pattern_id_overflow(monkeypatch):
+    from ahocorasick_tpu.automata import noncontiguous
+    from ahocorasick_tpu.utils.errors import BuildError
+
+    monkeypatch.setattr(noncontiguous, "MAX_SMALL_INDEX", 2)
+    with pytest.raises(BuildError) as ei:
+        noncontiguous.compile_nfa(
+            [b"a", b"b", b"c"], builder="python"
+        )
+    assert ei.value.kind == "pattern-id-overflow"
+
+
+# ---------------------------------------------------------------------------
 # Targeted regressions (tests.rs:1523-1664)
 # ---------------------------------------------------------------------------
 def test_search_respects_input_span():
