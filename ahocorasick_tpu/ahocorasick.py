@@ -122,6 +122,8 @@ class AhoCorasick:
         self._bitap: Optional[BitapEngine] = None
         self._bitap_checked = False
         self._staged = None
+        self._fp = None
+        self._fp_checked = False
         self._pre = None
         self._pre_checked = False
         self._dense_depth = builder._dense_depth
@@ -207,7 +209,7 @@ class AhoCorasick:
         """The gather-free bit-parallel device engine (ops/bitap.py), or
         None when the pattern set is out of its bounds (empty patterns,
         > 512 total pattern bytes) or the mode forces the DFA scan."""
-        if self._engine_mode == "dfa-scan":
+        if self._engine_mode in ("dfa-scan", "fingerprint"):
             return None
         if not self._bitap_checked:
             self._bitap_checked = True
@@ -245,6 +247,36 @@ class AhoCorasick:
                 self._staged.fp.k, self._staged.full.k,
             )
         return self._staged
+
+    def _fingerprint_engine(self, n: int):
+        """Bucketed fingerprint filter + exact verification
+        (ops/fingerprint.py) — the device engine for pattern sets beyond
+        the exact bit-parallel kernel's bounds. None when ineligible,
+        below the device threshold, or previously found filter-hostile
+        (candidate-dense input; the native walk is then faster)."""
+        from .ops.fingerprint import FingerprintEngine
+
+        forced = self._engine_mode == "fingerprint"
+        if self._engine_mode not in ("auto", "device-only", "fingerprint"):
+            return None
+        if not forced and n < self._device_threshold:
+            return None
+        if not self._fp_checked:
+            self._fp_checked = True
+            if FingerprintEngine.eligible(
+                self._patterns, self._case_insensitive
+            ):
+                self._fp = FingerprintEngine(
+                    self._patterns, self._case_insensitive
+                )
+                log.debug(
+                    "fingerprint engine: %d buckets, K=%d limbs, pad=%r",
+                    self._fp.tables.num_buckets, self._fp.tables.k,
+                    self._fp.tables.pad_byte,
+                )
+        if self._fp is not None and self._fp.hostile and not forced:
+            return None
+        return self._fp
 
     def _oracle_automaton(self):
         """The automaton backing host walk paths, per the reported kind:
@@ -323,10 +355,20 @@ class AhoCorasick:
             pids, ends = bitap.match_pairs(hs)
             starts = ends - self._dfa.pattern_lens[pids].astype(np.int64)
             return semantics.MatchSet(pids, starts, ends, input.start)
+        fp = self._fingerprint_engine(len(hs))
+        if fp is not None:
+            got = fp.match_pairs(hs)
+            if got is not None:  # None: filter-hostile input, fall back
+                pids, ends = got
+                starts = ends - self._dfa.pattern_lens[pids].astype(
+                    np.int64
+                )
+                return semantics.MatchSet(pids, starts, ends, input.start)
         if self._engine_mode not in ("dfa-scan", "device-only"):
-            # Pattern set beyond the bit-parallel kernel's bounds: the
-            # native sequential DFA walk (~1 GB/s) beats the gather-bound
-            # device scan for large automatons (see ARCHITECTURE.md).
+            # Pattern set beyond the device engines' bounds (or a
+            # filter-hostile workload): the native sequential DFA walk
+            # (~1 GB/s) beats the gather-bound device scan for large
+            # automatons (see ARCHITECTURE.md).
             from .automata import native as _native
 
             got = _native.dfa_positions(self._dfa, hs)
@@ -451,6 +493,11 @@ class AhoCorasick:
                 if got is not None:  # None: candidate overflow, rescan
                     return got
             return bitap.count_matches(hs)
+        fp = self._fingerprint_engine(len(hs))
+        if fp is not None:
+            got = fp.count_matches(hs)
+            if got is not None:
+                return got
         if self._engine_mode not in ("dfa-scan", "device-only"):
             from .automata import native as _native
 
@@ -646,14 +693,16 @@ class AhoCorasickBuilder:
     def engine(self, mode: str) -> "AhoCorasickBuilder":
         """TPU extension: engine preference.
 
-        'auto' (bitap kernel when eligible, else DFA scan, host walk for
-        tiny haystacks), 'device-only' (never host-walk), 'bitap' (force
-        the bit-parallel kernel even for tiny haystacks), 'dfa-scan'
+        'auto' (bitap kernel when eligible, else the fingerprint filter
+        engine, else native walk/DFA scan; host walk for tiny
+        haystacks), 'device-only' (never host-walk), 'bitap' (force the
+        bit-parallel kernel even for tiny haystacks), 'fingerprint'
+        (force the bucketed fingerprint filter engine), 'dfa-scan'
         (force the dense-DFA blocked scan), 'oracle' (host reference
         walk) — the analog of the reference's test-only backend forcing
         knobs (packed/api.rs:137-188)."""
         if mode not in ("auto", "oracle", "device-only", "bitap",
-                        "dfa-scan"):
+                        "fingerprint", "dfa-scan"):
             raise ValueError(f"unknown engine mode {mode!r}")
         self._engine = mode
         return self

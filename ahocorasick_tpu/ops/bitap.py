@@ -77,6 +77,64 @@ def _pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
+def pack_chains(lens: List[int]) -> Tuple[List[int], int]:
+    """Bin-pack chains into limbs so no chain crosses a 32-bit boundary.
+
+    Returns (bit offset per chain, total limbs). A chain confined to one
+    limb never needs the cross-limb carry (`(ms[k-1] >> 31) & 1`), which
+    the baked kernel elides per limb — measured ~10% of the per-byte op
+    budget on the 5-pattern headline set. Chains longer than 32 get
+    dedicated consecutive limbs; only their internal boundaries carry.
+
+    Placement also de-collides end-bit positions mod 32 when slack
+    allows, so counting can merge per-limb end-hit words into a single
+    popcount (positions distinct across limbs => popcount(OR) is exact).
+
+    First-fit-decreasing; padding bits are dead (their charmask is zero
+    everywhere, so shifted-in garbage dies immediately).
+    """
+    order = sorted(range(len(lens)), key=lambda i: -lens[i])
+    free: List[int] = []  # bits used so far in each open (partial) limb
+    offsets = [0] * len(lens)
+    used_ends = set()  # end-bit positions mod 32 taken so far
+
+    def place(limb: int, off: int, ln: int) -> int:
+        """Choose the in-limb start offset, nudging right (into padding)
+        to keep end positions distinct mod 32 while it still fits."""
+        end = off + ln - 1
+        while end % 32 in used_ends and (off - limb * 32) + ln < 32:
+            off += 1
+            end += 1
+        used_ends.add(end % 32)
+        return off
+
+    for i in order:
+        ln = lens[i]
+        if ln > 32:
+            # Dedicated limbs; the remainder limb's tail is reusable.
+            start_limb = len(free)
+            free.extend([32] * (ln // 32))
+            rem = ln % 32
+            off = start_limb * 32
+            used_ends.add((off + ln - 1) % 32)
+            offsets[i] = off
+            if rem:
+                free.append(rem)
+            continue
+        for k, used in enumerate(free):
+            if used + ln <= 32:
+                off = place(k, k * 32 + used, ln)
+                offsets[i] = off
+                free[k] = off - k * 32 + ln
+                break
+        else:
+            k = len(free)
+            off = place(k, k * 32, ln)
+            offsets[i] = off
+            free.append(off - k * 32 + ln)
+    return offsets, max(len(free), 1)
+
+
 def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
@@ -95,11 +153,8 @@ class BitapTables:
         assert patterns and all(len(p) > 0 for p in patterns)
         self.pattern_lens = np.array([len(p) for p in patterns], np.int64)
         self.max_pattern_len = int(self.pattern_lens.max())
-        offsets = np.concatenate(
-            [[0], np.cumsum(self.pattern_lens)]
-        ).astype(np.int64)
-        self.nbits = int(offsets[-1])
-        self.k = (self.nbits + 31) // 32
+        offsets, self.k = pack_chains([len(p) for p in patterns])
+        self.nbits = self.k * 32
         K = self.k
         lo = np.zeros((K, 16), np.uint32)
         hi = np.zeros((K, 16), np.uint32)
@@ -129,6 +184,9 @@ class BitapTables:
         self.hi = hi.view(np.int32)
         self.start = start.view(np.int32)
         self.end = end.view(np.int32)
+        # Limbs holding at least one chain-end bit; the baked extract
+        # kernel emits match words only for these (dense ke index).
+        self.end_limbs = [k for k in range(K) if end[k]]
         # Canonical reference report order at equal end: length desc then
         # pattern id asc (match lists are own-match-first then
         # failure-copied, i.e. decreasing length; noncontiguous.rs:1357).
@@ -301,9 +359,38 @@ def _make_baked_kernel(lo_c, hi_c, sm_c, em_c,
 
     Requires pad-byte padding: no position masking is emitted, so every
     position of the padded buffer must be scanned safely (charmask of the
-    pad byte is zero in every limb => no hits in padding)."""
+    pad byte is zero in every limb => no hits in padding).
+
+    Bake-time structure analysis (all derivable from the constants):
+      - cross-limb carry is emitted only into limbs whose bit 0 is a
+        live chain *continuation* (charmask support at bit 0 and no
+        start bit there) — the bin-packed layout (`pack_chains`) makes
+        that rare, eliding the carry chain entirely for most sets;
+      - the `| start_mask` OR is skipped for limbs without chain starts;
+      - per-limb end-hit popcounts merge into one popcount of the OR
+        when end-bit positions are distinct mod 32 (the packer nudges
+        placements to make them so)."""
     Wc = Lc // 4
     Hw = H // 4
+
+    def _or_all(vals):
+        acc = 0
+        for v in vals:
+            acc |= int(v) & 0xFFFFFFFF
+        return acc
+
+    # Limb k receives a carry iff bit 0 is in its charmask support and is
+    # not a chain start (start-mask OR makes a carried bit redundant).
+    carry_in = [False] + [
+        bool(_or_all(lo_c[k]) & _or_all(hi_c[k]) & 1)
+        and not (int(sm_c[k]) & 1)
+        for k in range(1, K)
+    ]
+    endpos = []
+    for k in range(K):
+        e = int(em_c[k]) & 0xFFFFFFFF
+        endpos += [b for b in range(32) if (e >> b) & 1]
+    merge_pop = len(endpos) == len(set(endpos))
 
     def kernel(halo_ref, body_ref, *out_and_scratch):
         if extract:
@@ -317,16 +404,26 @@ def _make_baked_kernel(lo_c, hi_c, sm_c, em_c,
             bits = [(b & (1 << t)) != 0 for t in range(8)]
             nms = []
             hits = []
-            carry = jnp.zeros((R, 128), jnp.int32)
+            carry = None
             for k in range(K):
                 lo_t = _emit_mux_const(bits[:4], lo_c[k])
                 hi_t = _emit_mux_const(bits[4:], hi_c[k])
                 if lo_t is None or hi_t is None:
-                    cm = jnp.zeros((R, 128), jnp.int32)
+                    cm = None
                 else:
                     cm = lo_t & hi_t
-                nm = ((ms[k] << 1) | carry | sm_c[k]) & cm
-                carry = lax.shift_right_logical(ms[k], 31) & 1
+                v = ms[k] << 1
+                if carry_in[k] and carry is not None:
+                    v = v | carry
+                if int(sm_c[k]):
+                    v = v | sm_c[k]
+                nm = (v & cm) if cm is not None else jnp.zeros(
+                    (R, 128), jnp.int32
+                )
+                if k + 1 < K and carry_in[k + 1]:
+                    carry = lax.shift_right_logical(ms[k], 31) & 1
+                else:
+                    carry = None
                 nms.append(nm)
                 hits.append(nm & em_c[k] if em_c[k] else None)
             return nms, hits
@@ -354,12 +451,24 @@ def _make_baked_kernel(lo_c, hi_c, sm_c, em_c,
             for jj in range(4):
                 b = lax.shift_right_logical(word, 8 * jj) & 255
                 ms, hits = advance(ms, b)
-                for k in range(K):
-                    if hits[k] is None:
-                        continue
-                    acc = acc + lax.population_count(hits[k])
-                    if extract:
-                        words_ref[0, w * 4 + jj, k] = hits[k]
+                live = [h for h in hits if h is not None]
+                if merge_pop and live:
+                    anyh = live[0]
+                    for h in live[1:]:
+                        anyh = anyh | h
+                    acc = acc + lax.population_count(anyh)
+                else:
+                    for h in live:
+                        acc = acc + lax.population_count(h)
+                if extract:
+                    # Words are written for end-bearing limbs only (dense
+                    # ke index); limbs without end bits would otherwise
+                    # leave garbage in the (uninitialized) output.
+                    ke = 0
+                    for k in range(K):
+                        if hits[k] is not None:
+                            words_ref[0, w * 4 + jj, ke] = hits[k]
+                            ke += 1
             return ms, acc
 
         ms0 = [ms_ref[k] for k in range(K)]
@@ -417,6 +526,7 @@ def _baked_jit(tables_key, K: int, L: int, Lc: int, H: int, tiles: int,
     the same dispatch. halo/body are stream-major (_to_stream_major)."""
     lo_c, hi_c, sm_c, em_c = tables_key
     kernel = _make_baked_kernel(lo_c, hi_c, sm_c, em_c, K, Lc, H, extract)
+    Ke = sum(1 for e in em_c if e)
     Hw = H // 4
     nchunks = L // Lc
     Wc = Lc // 4
@@ -427,10 +537,10 @@ def _baked_jit(tables_key, K: int, L: int, Lc: int, H: int, tiles: int,
                                   memory_space=pltpu.VMEM)]
         if extract:
             out_shapes.append(
-                jax.ShapeDtypeStruct((tiles, L, K, R, 128), jnp.int32)
+                jax.ShapeDtypeStruct((tiles, L, Ke, R, 128), jnp.int32)
             )
             out_specs.append(
-                pl.BlockSpec((1, Lc, K, R, 128),
+                pl.BlockSpec((1, Lc, Ke, R, 128),
                              lambda i, j: (i, j, 0, 0, 0),
                              memory_space=pltpu.VMEM)
             )
@@ -659,8 +769,9 @@ class BitapEngine:
             ph = self.prepare(hs)
         L, tiles, baked = ph.L, ph.tiles, ph.baked
         Lc = ph.Lc
-        # Cap extraction VMEM: words block is Lc*K*4 KiB.
-        while Lc * t.k > 1024 and Lc > 4:
+        kdim = len(t.end_limbs) if baked else t.k
+        # Cap extraction VMEM: words block is Lc*kdim*4 KiB.
+        while Lc * kdim > 1024 and Lc > 4:
             Lc //= 2
         if baked:
             fn = _baked_jit(t.baked_key(), t.k, L, Lc, self.halo,
@@ -668,7 +779,7 @@ class BitapEngine:
         else:
             lo, hi, sm, em = self._args()
             nn = jnp.asarray([0, n], jnp.int32)
-        words_size = tiles * L * t.k * LANES
+        words_size = tiles * L * kdim * LANES
         cap = 4096
         while True:
             if baked:
@@ -685,29 +796,49 @@ class BitapEngine:
             cap = max(64, _pow2(nnzw))
         if int(total) == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        idx = np.asarray(idx).astype(np.int64)
-        vals = np.asarray(vals).view(np.uint32)
-        real = idx < words_size
-        idx, vals = idx[real], vals[real]
-        # Decode flat [tiles, L, K, R, 128] indices.
-        c = idx % 128
-        r = (idx // 128) % R
-        k = (idx // (128 * R)) % t.k
-        tt = (idx // (128 * R * t.k)) % L
-        tile = idx // (128 * R * t.k * L)
-        stream = (tile * R + r) * 128 + c
-        pos = stream * L + tt  # 0-based byte index of the match end
-        pids_l, ends_l = [], []
-        for bit in range(32):
-            m = (vals >> np.uint32(bit)) & np.uint32(1)
-            rows = np.flatnonzero(m)
-            if len(rows) == 0:
-                continue
-            g = k[rows] * 32 + bit
-            pid = t.endbit_pid[g]
-            pids_l.append(pid)
-            ends_l.append(pos[rows] + 1)
-        pids = np.concatenate(pids_l)
-        ends = np.concatenate(ends_l)
-        order = np.lexsort((t.pid_rank[pids], ends))
-        return pids[order], ends[order]
+        return decode_match_words(
+            t, np.asarray(idx).astype(np.int64),
+            np.asarray(vals).view(np.uint32), L, kdim, words_size,
+            end_limbs=t.end_limbs if baked else None,
+        )
+
+
+def decode_match_words(t: BitapTables, idx: np.ndarray, vals: np.ndarray,
+                       L: int, kdim: int, words_size: int,
+                       end_limbs=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode compacted nonzero end-bit words into (pids, ends).
+
+    ``idx`` are flat indices into a [tiles, L, kdim, R, 128] word array
+    (entries >= words_size are compaction fill and dropped); ``vals`` the
+    corresponding uint32 words. ``end_limbs`` maps the dense word axis
+    back to limb ids (baked kernels emit end-bearing limbs only). Returns
+    1-based end offsets in the row buffer's coordinates, sorted in the
+    reference's overlapping report order (end asc, length desc, pid asc).
+    """
+    real = idx < words_size
+    idx, vals = idx[real], vals[real]
+    c = idx % 128
+    r = (idx // 128) % R
+    k = (idx // (128 * R)) % kdim
+    tt = (idx // (128 * R * kdim)) % L
+    tile = idx // (128 * R * kdim * L)
+    if end_limbs is not None:
+        k = np.asarray(end_limbs, np.int64)[k]
+    stream = (tile * R + r) * 128 + c
+    pos = stream * L + tt  # 0-based byte index of the match end
+    pids_l, ends_l = [], []
+    for bit in range(32):
+        m = (vals >> np.uint32(bit)) & np.uint32(1)
+        rows = np.flatnonzero(m)
+        if len(rows) == 0:
+            continue
+        g = k[rows] * 32 + bit
+        pid = t.endbit_pid[g]
+        pids_l.append(pid)
+        ends_l.append(pos[rows] + 1)
+    if not pids_l:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    pids = np.concatenate(pids_l)
+    ends = np.concatenate(ends_l)
+    order = np.lexsort((t.pid_rank[pids], ends))
+    return pids[order], ends[order]

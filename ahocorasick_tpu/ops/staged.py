@@ -224,9 +224,11 @@ def _staged_jit(fp_key, full_key, Kf: int, K: int, L: int, Lc: int,
                 H: int, tiles: int, cap: int):
     """One fused jit: stage-1 flags -> device gather -> stage-2 count.
 
-    Returns fn(x32, nn) -> (total, n_candidates); `total` is only valid
-    when n_candidates <= cap (the facade falls back to the single-pass
-    engine otherwise).
+    Returns fn(rows, hrows, halo, body, nn) -> (total, n_candidates);
+    `total` is only valid when n_candidates <= cap (the caller retries
+    with a bigger cap, then falls back to the single-pass engine).
+    rows/hrows/halo/body come from StagedEngine.prepare — the row and
+    stream-major layouts are computed once at upload time, not per call.
     """
     flags_kernel = _make_flags_kernel(*fp_key[:2], fp_key[2], fp_key[3],
                                       Kf, Lc, H)
@@ -239,11 +241,7 @@ def _staged_jit(fp_key, full_key, Kf: int, K: int, L: int, Lc: int,
     Wc = Lc // 4
     tiles_c = cap // LANES
 
-    def fn(x32, nn):
-        rows = x32.reshape(ns, Wb)
-        hrows = jnp.roll(x32, Hw).reshape(ns, Wb)[:, :Hw]
-        body = rows.T.reshape(Wb, ns // 128, 128)
-        halo = hrows.T.reshape(Hw, ns // 128, 128)
+    def fn(rows, hrows, halo, body, nn):
         flags = pl.pallas_call(
             flags_kernel,
             grid=(tiles, nchunks),
@@ -294,6 +292,36 @@ def _staged_jit(fp_key, full_key, Kf: int, K: int, L: int, Lc: int,
     return jax.jit(fn)
 
 
+class StagedHaystack:
+    """Device-resident staged-engine layout: upload + transpose once,
+    count many times (the production repeated-search path)."""
+
+    __slots__ = ("n", "L", "Lc", "tiles", "rows", "hrows", "halo_a",
+                 "body")
+
+    def __init__(self, n, L, Lc, tiles, rows, hrows, halo_a, body):
+        self.n = n
+        self.L = L
+        self.Lc = Lc
+        self.tiles = tiles
+        self.rows = rows        # [ns, Wb] int32 row-major (stage-2 gather)
+        self.hrows = hrows      # [ns, Hw] halo rows
+        self.halo_a = halo_a    # stream-major halo (stage-1)
+        self.body = body        # stream-major body (stage-1)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "tiles", "H"))
+def _staged_layouts(x32, L: int, tiles: int, H: int):
+    ns = tiles * LANES
+    Wb = L // 4
+    Hw = H // 4
+    rows = x32.reshape(ns, Wb)
+    hrows = jnp.roll(x32, Hw).reshape(ns, Wb)[:, :Hw]
+    body = rows.T.reshape(Wb, ns // 128, 128)
+    halo = hrows.T.reshape(Hw, ns // 128, 128)
+    return rows, hrows, halo, body
+
+
 class StagedEngine:
     """Count-mode engine: fingerprint prefilter + exact rescan."""
 
@@ -327,25 +355,47 @@ class StagedEngine:
         Lc = min(L, 512)
         return L, Lc, tiles
 
-    def count_matches(self, hs: bytes) -> Optional[int]:
-        """Exact overlapping-match count, or None when the candidate set
-        overflowed the gather capacity (caller falls back)."""
+    def prepare(self, hs: bytes) -> StagedHaystack:
+        """Upload a haystack into the device-resident staged layout."""
         n = len(hs)
-        if n == 0:
-            return 0
-        L, Lc, tiles = self._layout(n)
+        L, Lc, tiles = self._layout(max(n, 1))
         ns = tiles * LANES
-        cap = max(LANES, _pow2(ns // 4))
         pad = self.full.pad_byte
         assert pad is not None
-        total_b = ns * L
-        buf = np.full(total_b, pad, np.uint8)
+        buf = np.full(ns * L, pad, np.uint8)
         buf[:n] = np.frombuffer(hs, np.uint8)
-        x32 = jnp.asarray(buf.view(np.int32))
+        x32 = jax.device_put(jnp.asarray(buf.view(np.int32)))
+        rows, hrows, halo_a, body = _staged_layouts(
+            x32, L, tiles, self.halo
+        )
+        return StagedHaystack(n, L, Lc, tiles, rows, hrows, halo_a, body)
+
+    def count_fn(self, ph: StagedHaystack, cap: int):
+        """The compiled count entry for a prepared layout (bench hook)."""
         fn = _staged_jit(self.fp.baked_key(), self.full.baked_key(),
-                         self.fp.k, self.full.k, L, Lc, self.halo,
-                         tiles, cap)
-        total, ncand = fn(x32, jnp.asarray([0, n], jnp.int32))
-        if int(ncand) > cap:
-            return None
-        return int(total)
+                         self.fp.k, self.full.k, ph.L, ph.Lc, self.halo,
+                         ph.tiles, cap)
+        nn = jnp.asarray([0, ph.n], jnp.int32)
+        return lambda: fn(ph.rows, ph.hrows, ph.halo_a, ph.body, nn)
+
+    def count_matches(self, hs) -> Optional[int]:
+        """Exact overlapping-match count, or None when the candidate set
+        overflowed the gather capacity (caller falls back)."""
+        ph = hs if isinstance(hs, StagedHaystack) else None
+        if ph is None:
+            if len(hs) == 0:
+                return 0
+            ph = self.prepare(hs)
+        if ph.n == 0:
+            return 0
+        ns = ph.tiles * LANES
+        # Start with an optimistic rescan budget and grow on overflow:
+        # the gather + stage-2 cost is proportional to cap, and most
+        # workloads flag well under an eighth of the streams.
+        cap = max(LANES, _pow2(ns // 8))
+        while cap <= ns:
+            total, ncand = self.count_fn(ph, cap)()
+            if int(ncand) <= cap:
+                return int(total)
+            cap = max(cap * 2, _pow2(int(ncand)))
+        return None

@@ -246,3 +246,177 @@ def sharded_bitap_count(
         jax.device_put(nn, NamedSharding(mesh, P("d", None))),
     )
     return int(total)
+
+
+def sharded_bitap_match_pairs(
+    eng,  # ops.bitap.BitapEngine
+    haystack: bytes,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Mesh-parallel match extraction: the full overlapping (pid, end)
+    set, gathered across the device mesh.
+
+    Each device runs the extract-mode shift-AND kernel on its halo'd
+    shard and *compacts its own match words on device* (nonzero +
+    gather), so only O(#matches) data leaves each chip — the multi-chip
+    generalization of the single-chip extraction path, with per-shard
+    results stitched in shard order (ends are globally monotone across
+    shards, preserving the reference's report order,
+    util/search.rs:824-860). The halo window masking guarantees each
+    match is reported by exactly one shard (the one owning its end).
+    """
+    from ..ops.bitap import (
+        LANES,
+        _bitap_call,
+        _pow2,
+        _to_stream_major,
+        decode_match_words,
+    )
+
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.devices.size
+    n = len(haystack)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    t = eng.tables
+    halo = eng.halo
+    shard = _round_up(-(-n // ndev), 4)
+    L, Lc, tiles = eng._layout(halo + shard)
+    # Extraction VMEM bound (words block is Lc*K*4 KiB per grid step).
+    while Lc * t.k > 1024 and Lc > 4:
+        Lc //= 2
+    row_bytes = tiles * LANES * L
+    rows = np.zeros((ndev, row_bytes), dtype=np.uint8)
+    nn = np.zeros((ndev, 2), dtype=np.int32)
+    buf = np.frombuffer(haystack, dtype=np.uint8)
+    for i in range(ndev):
+        g0 = i * shard
+        lo_ = max(0, g0 - halo)
+        seg = buf[lo_:min(g0 + shard, n)]
+        off = halo - (g0 - lo_)
+        rows[i, off:off + len(seg)] = seg
+        nn[i, 0] = halo
+        nn[i, 1] = halo + max(0, min(n - g0, shard))
+    rows32 = rows.view(np.int32)
+    lo, hi, sm, em = eng._args()
+    words_size = tiles * L * t.k * LANES
+
+    def run_for_cap(cap: int):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P("d", None), P("d", None)),
+            out_specs=(P("d"), P("d"), P("d", None), P("d", None)),
+            check_vma=False,
+        )
+        def run(lo, hi, sm, em, rows32, nn):
+            halo_a, body = _to_stream_major(rows32[0], L, tiles, halo)
+            total, words = _bitap_call(
+                lo, hi, sm, em, halo_a, body, nn[0],
+                K=t.k, L=L, Lc=Lc, H=halo, tiles=tiles, extract=True,
+            )
+            flat = words.reshape(-1)
+            nz = flat != 0
+            nnzw = jnp.sum(nz.astype(jnp.int32))
+            (idx,) = jnp.nonzero(nz, size=cap, fill_value=flat.shape[0])
+            vals = jnp.take(flat, jnp.minimum(idx, flat.shape[0] - 1))
+            return (total[None], nnzw[None], idx[None], vals[None])
+
+        return jax.jit(run)(
+            lo, hi, sm, em,
+            jax.device_put(rows32, NamedSharding(mesh, P("d", None))),
+            jax.device_put(nn, NamedSharding(mesh, P("d", None))),
+        )
+
+    cap = 4096
+    while True:
+        totals, nnzws, idxs, valss = run_for_cap(cap)
+        worst = int(np.max(np.asarray(nnzws)))
+        if worst <= cap:
+            break
+        cap = max(64, _pow2(worst))
+    all_pids, all_ends = [], []
+    idxs = np.asarray(idxs).astype(np.int64)
+    valss = np.asarray(valss).view(np.uint32)
+    for i in range(ndev):
+        pids, ends = decode_match_words(
+            t, idxs[i], valss[i], L, t.k, words_size
+        )
+        # Row coordinate -> absolute: row position p covers global byte
+        # (i*shard - halo) + p.
+        all_pids.append(pids)
+        all_ends.append(ends + i * shard - halo)
+    return np.concatenate(all_pids), np.concatenate(all_ends)
+
+
+class ShardedSearcher:
+    """A facade adapter that computes match sets across a device mesh.
+
+    Implements the minimal surface the stream machinery (stream.py)
+    consumes — `_match_set` plus introspection — so sharded stream
+    search/replace is the single-chip code path running over
+    mesh-gathered match sets (the reference's stream contract,
+    automaton.rs:1036-1244, with the roll-buffer carry generalized to
+    shard halos)."""
+
+    def __init__(self, ac, mesh: Optional[Mesh] = None):
+        from ..utils.errors import MatchError
+
+        self.ac = ac
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._eng = ac._bitap_engine()
+        if self._eng is None:
+            raise MatchError(
+                "unsupported-stream",
+                "sharded stream search requires a pattern set within the"
+                " bit-parallel engine's bounds",
+            )
+
+    # Introspection delegation (what stream.py consults).
+    def match_kind(self):
+        return self.ac.match_kind()
+
+    def start_kind(self):
+        return self.ac.start_kind()
+
+    def max_pattern_len(self):
+        return self.ac.max_pattern_len()
+
+    def min_pattern_len(self):
+        return self.ac.min_pattern_len()
+
+    def patterns_len(self):
+        return self.ac.patterns_len()
+
+    def _match_set(self, input):
+        from .. import semantics
+
+        hs = input.haystack[input.start:input.end]
+        pids, ends = sharded_bitap_match_pairs(self._eng, hs, self.mesh)
+        starts = ends - self.ac._dfa.pattern_lens[pids].astype(np.int64)
+        return semantics.MatchSet(pids, starts, ends, input.start)
+
+    def count_matches(self, input) -> int:
+        from ..utils.search import to_input
+
+        input = to_input(input)
+        hs = input.haystack[input.start:input.end]
+        return sharded_bitap_count(self._eng, hs, self.mesh)
+
+
+def sharded_stream_replace_all(
+    ac, reader, writer, replace_with, mesh: Optional[Mesh] = None,
+    chunk_size: int = 1 << 20,
+) -> None:
+    """Stream replacement with the scan fanned out over the mesh.
+
+    Chunks stream through ShardedSearcher's mesh-parallel extraction
+    with the standard stream carry (tail + cursor); output is written
+    in order, identical to the single-chip stream_replace_all."""
+    from ..stream import stream_replace_all
+
+    stream_replace_all(
+        ShardedSearcher(ac, mesh), reader, writer, replace_with,
+        chunk_size,
+    )

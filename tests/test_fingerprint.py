@@ -1,0 +1,209 @@
+"""Fingerprint filter engine (ops/fingerprint.py) vs the oracle.
+
+The engine must produce the complete overlapping match set for pattern
+sets beyond the exact bit-parallel kernel's bounds — the workload class
+the reference routes through its automaton + prefilter stack. Every
+case is cross-checked against the sequential host oracle.
+"""
+
+import numpy as np
+import pytest
+
+from ahocorasick_tpu import AhoCorasick, Input, MatchKind
+from ahocorasick_tpu.automata.noncontiguous import compile_nfa
+from ahocorasick_tpu.ops.fingerprint import (
+    FP_LEN,
+    FingerprintEngine,
+    FingerprintTables,
+    VerifyIndex,
+    plan_buckets,
+)
+from ahocorasick_tpu import oracle
+
+
+def _dictionary(rng, count, lmin=3, lmax=14, alphabet=b"abcdefgh"):
+    pats = set()
+    while len(pats) < count:
+        ln = int(rng.integers(lmin, lmax + 1))
+        pats.add(rng.choice(list(alphabet), ln).astype(np.uint8).tobytes())
+    return sorted(pats)
+
+
+def _text_with_matches(rng, n, pats, density=0.01):
+    out = []
+    size = 0
+    while size < n:
+        if rng.random() < density:
+            w = pats[int(rng.integers(len(pats)))]
+        else:
+            w = rng.choice(list(b"abcdefghijklmnop"),
+                           int(rng.integers(2, 9))).astype(np.uint8)
+            w = w.tobytes()
+        out.append(w)
+        size += len(w)
+    return b"".join(out)[:n]
+
+
+def _oracle_pairs(pats, hs, ci=False):
+    nfa = compile_nfa(pats, match_kind=MatchKind.STANDARD,
+                      ascii_case_insensitive=ci)
+    triples = oracle.find_all_overlapping(nfa, hs)
+    pids = np.array([t[0] for t in triples], np.int64)
+    ends = np.array([t[2] for t in triples], np.int64)
+    return pids, ends
+
+
+@pytest.mark.parametrize("count,ci", [(150, False), (400, True)])
+def test_match_pairs_vs_oracle(count, ci):
+    rng = np.random.default_rng(count)
+    pats = _dictionary(rng, count)
+    hs = _text_with_matches(rng, 1 << 15, pats)
+    eng = FingerprintEngine(pats, ci)
+    got = eng.match_pairs(hs)
+    assert got is not None
+    pids, ends = got
+    epids, eends = _oracle_pairs(pats, hs, ci)
+    assert np.array_equal(ends, eends)
+    assert np.array_equal(pids, epids)
+    assert eng.count_matches(hs) == len(epids)
+
+
+def test_stream_boundary_straddle():
+    """Matches crossing the per-lane stream boundaries (multiples of L)
+    must be found via the halo warm-up."""
+    pats = _dictionary(np.random.default_rng(7), 130, lmin=4, lmax=24)
+    # L = 128 for small inputs; plant a long pattern across each of the
+    # first few boundaries.
+    hs = bytearray(np.random.default_rng(8).choice(
+        list(b"xyzw"), 4096).astype(np.uint8).tobytes())
+    planted = pats[100]
+    for b in range(1, 8):
+        pos = b * 128 - len(planted) // 2
+        hs[pos:pos + len(planted)] = planted
+    hs = bytes(hs)
+    eng = FingerprintEngine(pats, False)
+    pids, ends = eng.match_pairs(hs)
+    epids, eends = _oracle_pairs(pats, hs)
+    assert np.array_equal(ends, eends)
+    assert np.array_equal(pids, epids)
+    assert len(ends) >= 7
+
+
+def test_duplicate_and_shared_prefix_patterns():
+    pats = [b"abcde", b"abcdefgh", b"abcdefghi", b"abcde", b"bcd",
+            b"abcdefghijklm"] + _dictionary(
+                np.random.default_rng(3), 80, lmin=3, lmax=10)
+    hs = b"zzabcdefghijklmzz" * 50 + b"bcdbcdbcd"
+    eng = FingerprintEngine(pats, False)
+    pids, ends = eng.match_pairs(hs)
+    epids, eends = _oracle_pairs(pats, hs)
+    assert np.array_equal(ends, eends)
+    assert np.array_equal(pids, epids)
+
+
+def test_short_patterns_mixed():
+    """Length classes below FP_LEN verify via exact key membership."""
+    pats = [b"a", b"ab", b"abc", b"abcd", b"abcdefg", b"abcdefgh",
+            b"abcdefghij"] + _dictionary(
+                np.random.default_rng(5), 100, lmin=2, lmax=20)
+    hs = _text_with_matches(np.random.default_rng(6), 1 << 14, pats,
+                            density=0.05)
+    eng = FingerprintEngine(pats, False)
+    pids, ends = eng.match_pairs(hs)
+    epids, eends = _oracle_pairs(pats, hs)
+    assert np.array_equal(ends, eends)
+    assert np.array_equal(pids, epids)
+
+
+def test_matches_at_edges():
+    pats = _dictionary(np.random.default_rng(11), 120, lmin=4, lmax=12)
+    p0, p1 = pats[0], pats[1]
+    hs = p0 + b"qq" * 300 + p1
+    eng = FingerprintEngine(pats, False)
+    pids, ends = eng.match_pairs(hs)
+    epids, eends = _oracle_pairs(pats, hs)
+    assert np.array_equal(ends, eends)
+    assert np.array_equal(pids, epids)
+
+
+def test_empty_and_no_match():
+    pats = _dictionary(np.random.default_rng(13), 90)
+    eng = FingerprintEngine(pats, False)
+    assert eng.count_matches(b"") == 0
+    pids, ends = eng.match_pairs(b"QQQQ" * 1000)
+    assert len(pids) == 0 and len(ends) == 0
+
+
+def test_plan_buckets_budget():
+    rng = np.random.default_rng(17)
+    pats = _dictionary(rng, 1000, lmin=4, lmax=16,
+                       alphabet=bytes(range(97, 123)))
+    plan = plan_buckets(pats, False)
+    assert plan is not None
+    buckets, offsets, K = plan
+    assert K <= 64
+    assert sum(len(b[1]) for b in buckets) == len(pats)
+    t = FingerprintTables(pats, False)
+    assert t.k == K
+    assert t.pad_byte is not None  # letters-only set
+
+
+def test_facade_forced_fingerprint_vs_oracle():
+    rng = np.random.default_rng(23)
+    pats = _dictionary(rng, 200, lmin=3, lmax=12)
+    hs = _text_with_matches(rng, 1 << 14, pats, density=0.03)
+    ac = AhoCorasick(pats, engine="fingerprint")
+    aco = AhoCorasick(pats, engine="oracle")
+    got = [m.astuple() for m in ac.find_iter(Input(hs))]
+    want = [m.astuple() for m in aco.find_iter(Input(hs))]
+    assert got == want
+    govl = [m.astuple() for m in ac.find_overlapping_iter(Input(hs))]
+    wovl = [m.astuple() for m in aco.find_overlapping_iter(Input(hs))]
+    assert govl == wovl
+    assert ac.count_matches(Input(hs)) == len(wovl)
+
+
+@pytest.mark.parametrize(
+    "kind", [MatchKind.LEFTMOST_FIRST, MatchKind.LEFTMOST_LONGEST]
+)
+def test_facade_fingerprint_leftmost(kind):
+    rng = np.random.default_rng(29)
+    pats = _dictionary(rng, 180, lmin=3, lmax=10)
+    hs = _text_with_matches(rng, 1 << 13, pats, density=0.05)
+    ac = AhoCorasick(pats, engine="fingerprint", match_kind=kind)
+    aco = AhoCorasick(pats, engine="oracle", match_kind=kind)
+    got = [m.astuple() for m in ac.find_iter(Input(hs))]
+    want = [m.astuple() for m in aco.find_iter(Input(hs))]
+    assert got == want
+
+
+def test_hostile_guard_falls_back(monkeypatch):
+    """Degenerate candidate-dense input: the engine must flag itself
+    hostile and the facade must stay correct via the native-walk
+    fallback."""
+    from ahocorasick_tpu.ops import fingerprint as F
+
+    monkeypatch.setattr(F, "CAND_FLOOR", 64)
+    # > 2048 total pattern bytes so the exact bitap engine is ineligible
+    # and the facade reaches the fingerprint engine.
+    pats = [bytes([c]) * 4 for c in b"abcdefgh"] + _dictionary(
+        np.random.default_rng(31), 400, lmin=5, lmax=9)
+    hs = b"aaaaaaaa" * 512  # every position matches "aaaa"
+    ac = AhoCorasick(pats, engine="auto", device_threshold=1024)
+    aco = AhoCorasick(pats, engine="oracle")
+    want = len(list(aco.find_overlapping_iter(Input(hs))))
+    assert ac.count_matches(Input(hs)) == want
+    assert ac._fp is not None and ac._fp.hostile
+
+
+def test_verify_index_direct():
+    pats = [b"hello", b"help", b"helloworld", b"world", b"ld"]
+    vi = VerifyIndex(pats, False)
+    hs = b"xxhelloworldxx"
+    a = np.frombuffer(hs, np.uint8)
+    # Candidates at every position (as if the filter passed everything):
+    cand = np.arange(len(hs), dtype=np.int64)
+    pids, ends = vi.verify(a, cand)
+    # hello ends at 7; helloworld, world, ld all end at 12.
+    got = sorted(zip(pids.tolist(), ends.tolist()))
+    assert got == [(0, 7), (2, 12), (3, 12), (4, 12)]

@@ -91,3 +91,110 @@ def test_sharded_count_empty_and_tiny():
         sharded_count_matches(ac._device_automaton(), b"abc", make_mesh(8))
         == 1
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded extraction + sharded stream replace (round 2)
+# ---------------------------------------------------------------------------
+def _oracle_pairs(ac, h):
+    ms = [(m.pattern, m.end) for m in ac.find_overlapping_iter(Input(h))]
+    return ms
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_sharded_match_pairs(ndev):
+    from ahocorasick_tpu.parallel.shard import sharded_bitap_match_pairs
+
+    random.seed(11)
+    pats = ["ab", "babc", "c", "ccc", "abcabc"]
+    h = "".join(random.choice("abcx") for _ in range(6000)).encode()
+    ac = AhoCorasick(pats)
+    eng = ac._bitap_engine()
+    pids, ends = sharded_bitap_match_pairs(eng, h, make_mesh(ndev))
+    want = _oracle_pairs(ac, h)
+    assert list(zip(pids.tolist(), ends.tolist())) == want
+
+
+def test_sharded_match_pairs_cross_shard():
+    from ahocorasick_tpu.parallel.shard import sharded_bitap_match_pairs
+
+    pats = ["xyxyxyxy", "yx"]
+    n = 40000
+    h = bytearray(b"." * n)
+    shard = -(-n // 8)
+    for i in range(1, 8):
+        p = i * shard - 4
+        h[p:p + 8] = b"xyxyxyxy"
+    h = bytes(h)
+    ac = AhoCorasick(pats)
+    pids, ends = sharded_bitap_match_pairs(
+        ac._bitap_engine(), h, make_mesh(8)
+    )
+    want = _oracle_pairs(ac, h)
+    assert list(zip(pids.tolist(), ends.tolist())) == want
+    assert len(want) == 7 * 4  # per planted block: 1 long + 3 "yx"
+
+
+def test_sharded_searcher_find_iter_semantics():
+    from ahocorasick_tpu.parallel.shard import ShardedSearcher
+    from ahocorasick_tpu import semantics
+
+    random.seed(13)
+    pats = ["Samwise", "Sam", "wise"]
+    h = ("Sam and Samwise the wise " * 40).encode()
+    for kind in (MatchKind.STANDARD, MatchKind.LEFTMOST_FIRST,
+                 MatchKind.LEFTMOST_LONGEST):
+        ac = AhoCorasick(pats, match_kind=kind)
+        ss = ShardedSearcher(ac, make_mesh(8))
+        ms = ss._match_set(Input(h))
+        got = [m.astuple() for m in
+               semantics.select_non_overlapping(ms, kind, 0)]
+        want = [m.astuple() for m in ac.find_iter(Input(h))]
+        assert got == want
+
+
+def test_sharded_stream_replace_all():
+    import io
+
+    from ahocorasick_tpu.parallel.shard import (
+        sharded_stream_replace_all,
+    )
+
+    random.seed(17)
+    pats = ["fox", "dog", "foxtrot"]
+    body = "".join(
+        random.choice(["the fox ", "a dog ", "foxtrot! ", "zzz "])
+        for _ in range(3000)
+    ).encode()
+    ac = AhoCorasick(pats)
+    # Single-chip reference behavior.
+    want = ac.try_replace_all_bytes(body, [b"F", b"D", b"FT"])
+    out = io.BytesIO()
+    sharded_stream_replace_all(
+        ac, io.BytesIO(body), out, [b"F", b"D", b"FT"],
+        mesh=make_mesh(8), chunk_size=997,  # force many carry rounds
+    )
+    assert out.getvalue() == want
+
+
+def test_sharded_stream_replace_cross_chunk_and_shard():
+    import io
+
+    from ahocorasick_tpu.parallel.shard import (
+        sharded_stream_replace_all,
+    )
+
+    pats = ["xyxyxyxy"]
+    n = 30000
+    h = bytearray(b"." * n)
+    for p in range(911, n - 8, 911):
+        h[p:p + 8] = b"xyxyxyxy"
+    h = bytes(h)
+    ac = AhoCorasick(pats)
+    want = ac.try_replace_all_bytes(h, [b"<>"])
+    out = io.BytesIO()
+    sharded_stream_replace_all(
+        ac, io.BytesIO(h), out, [b"<>"], mesh=make_mesh(8),
+        chunk_size=1024,
+    )
+    assert out.getvalue() == want
