@@ -181,6 +181,19 @@ class AhoCorasick:
         total += self._dfa.memory_usage()
         return total
 
+    def debug_str(self, max_states: Optional[int] = None) -> str:
+        """Full-automaton pretty dump — the analog of the reference's
+        rich Debug impls (nfa/noncontiguous.rs:1691-1762,
+        dfa.rs:305-381), its primary debugging affordance. Dumps the
+        configured NFA and the compiled dense DFA."""
+        from .utils import debug as _dbg
+
+        return (
+            _dbg.format_nfa(self._nfa, max_states)
+            + "\n"
+            + _dbg.format_dfa(self._dfa, max_states)
+        )
+
     # ------------------------------------------------------------------
     # Checkpoint/restore (TPU extension; see serialize.py)
     # ------------------------------------------------------------------
@@ -446,6 +459,24 @@ class AhoCorasick:
     def find_iter(self, input) -> Iterator[Match]:
         return self.try_find_iter(input)
 
+    def _overlap_devolve(self, state: oracle.OverlappingState) -> None:
+        """Convert a device-backed overlapping state into the exact
+        oracle-walk state by replaying the drained matches on the
+        original input — resuming on a *different* input then behaves
+        exactly like the reference's carried automaton state
+        (automaton.rs:781-827)."""
+        matches, idx, old_input = state._dev
+        state._dev = None
+        replay = oracle.OverlappingState()
+        for _ in range(idx):
+            oracle.try_find_overlapping_fwd(
+                self._match_nfa, old_input, replay
+            )
+        state.mat = replay.mat
+        state.id = replay.id
+        state.at = replay.at
+        state.next_match_index = replay.next_match_index
+
     def try_find_overlapping(
         self, input, state: oracle.OverlappingState
     ) -> None:
@@ -453,7 +484,35 @@ class AhoCorasick:
         self._check_anchored(input)
         if not self._match_kind.is_standard():
             raise MatchError.unsupported_overlapping(self._match_kind)
-        oracle.try_find_overlapping_fwd(self._match_nfa, input, state)
+        same_input = state._dev is not None and (
+            state._dev[2].haystack is input.haystack
+            and state._dev[2].start == input.start
+            and state._dev[2].end == input.end
+        )
+        if state._dev is not None and not same_input:
+            self._overlap_devolve(state)
+        use_device = (
+            state.id is None
+            and not input.anchored.is_anchored()
+            and not self._has_empty
+            and self._engine_mode != "oracle"
+            and (
+                same_input
+                or input.end - input.start >= self._device_threshold
+            )
+        )
+        if not use_device:
+            oracle.try_find_overlapping_fwd(self._match_nfa, input, state)
+            return
+        if state._dev is None:
+            ms = self._match_set(input)
+            state._dev = [list(semantics.overlapping_iter(ms)), 0, input]
+        matches, idx, _ = state._dev
+        if idx < len(matches):
+            state.mat = matches[idx]
+            state._dev[1] = idx + 1
+        else:
+            state.mat = None
 
     def find_overlapping(
         self, input, state: oracle.OverlappingState

@@ -41,7 +41,10 @@ def main(argv=None) -> int:
                     help="count overlapping matches")
     ap.add_argument("--anchored", action="store_true")
     ap.add_argument("--debug", action="store_true",
-                    help="print automaton debug info instead of searching")
+                    help="print the full automaton dump instead of"
+                         " searching (NFA + dense DFA)")
+    ap.add_argument("--debug-states", type=int, default=None,
+                    help="cap the number of states printed by --debug")
     ap.add_argument(
         "--engine",
         choices=["auto", "oracle", "device-only", "bitap", "dfa-scan"],
@@ -77,13 +80,9 @@ def main(argv=None) -> int:
     print(f"memory usage: {ac.memory_usage()} bytes", file=sys.stderr)
 
     if args.debug:
-        nfa = ac._nfa
-        print(f"states: {nfa.num_states}")
-        print(f"alphabet len: {nfa.alphabet_len}")
-        print(f"match states: "
-              f"{max(0, nfa.special.max_match_id - 1)}")
-        print(f"max pattern len: {nfa.max_pattern_len}")
-        print(f"dense dfa table: {ac._dfa.trans.shape}")
+        # Full automaton dump (NFA + dense DFA), the reference
+        # aho-corasick-debug's primary output (main.rs:14-19).
+        print(ac.debug_str(max_states=args.debug_states))
         return 0
 
     inp = Input(

@@ -79,15 +79,20 @@ def try_find_fwd(
 
 
 class OverlappingState:
-    """Resumable overlapping-search state (automaton.rs:781-827)."""
+    """Resumable overlapping-search state (automaton.rs:781-827).
 
-    __slots__ = ("mat", "id", "at", "next_match_index")
+    ``_dev`` backs the state with a device-computed match list
+    (facade fast path); it devolves to the exact oracle walk whenever
+    the caller resumes with a different input."""
+
+    __slots__ = ("mat", "id", "at", "next_match_index", "_dev")
 
     def __init__(self):
         self.mat: Optional[Match] = None
         self.id: Optional[int] = None
         self.at = 0
         self.next_match_index: Optional[int] = None
+        self._dev = None  # [matches, next_idx, Input] when device-backed
 
     @classmethod
     def start(cls) -> "OverlappingState":

@@ -170,7 +170,7 @@ def build_dictionary(count=1000, seed=99):
         ln = int(rng.integers(4, 13))
         w = rng.choice(letters, ln).astype(np.uint8)
         if rng.random() < 0.3:
-            w[0] &= ~0x20  # capitalize some entries
+            w[0] &= 0xDF  # capitalize some entries
         pats.add(w.tobytes())
     return sorted(pats)
 
@@ -188,69 +188,61 @@ def build_dict_text(n, pats, seed=7, density=0.002):
     return bytes(out)
 
 
-def bench_dict1k(jax, jnp):
-    """Case-insensitive 1K-pattern dictionary, full overlapping match
-    extraction (fingerprint filter engine + exact verification). The
-    reference runs this class of workload on its automaton at
-    ~0.3-0.9 GB/s (no prefilter applies past 64 patterns,
-    teddy/builder.rs:113)."""
-    import time as _t
-
+def bench_fp_count(jax, jnp, pats, hs, expect, ci, label):
+    """Fused fingerprint count pipeline: bitmap filter kernel +
+    on-device candidate expansion + on-device windowed verification —
+    one dispatch, one scalar back."""
     from ahocorasick_tpu.ops import fingerprint as F
 
-    pats = build_dictionary()
-    n = 1 << 26
-    hs = build_dict_text(n, pats)
-    eng = F.FingerprintEngine(pats, True)
+    eng = F.FingerprintEngine(pats, ci)
+    assert eng.dv is not None, "device verify must be available"
     t = eng.tables
-    log(f"dict1k: buckets={t.num_buckets} K={t.k} pad={t.pad_byte}")
-    L, Lc, tiles = eng._layout(n)
-    from ahocorasick_tpu.ops.bitap import _to_stream_major
-
-    x32 = jax.device_put(eng._pack(hs, L, tiles, t.pad_byte or 0))
-    halo_a, body = _to_stream_major(x32, L, tiles, eng.halo)
-    # Steady-state compaction cap.
-    cap = 4096
-    while True:
-        fn = F._fp_baked_jit(t.baked_key(), t.k, L, Lc, eng.halo, tiles)
-        ncand, nnzw, idx, vals = fn(halo_a, body, cap=cap)
-        if int(nnzw) <= cap:
-            break
-        cap = max(64, 1 << int(nnzw - 1).bit_length())
-    log(f"dict1k: ncand={int(ncand)} nnzw={int(nnzw)} cap={cap}")
+    ph = eng.prepare(hs)
+    got = eng.count_matches(ph)
+    assert got == expect, (got, expect)
+    cap_w, cap_c, _ = eng.last_caps
+    log(f"{label}: buckets={t.num_buckets} K={t.k} W={eng.dv.W} "
+        f"cap_w={cap_w} cap_c={cap_c}")
+    fn = F._fp_verified_jit(
+        t.baked_key(), eng.dv.key(), t.k, ph.L, ph.Lc, eng.halo,
+        ph.tiles, eng.dv.W, False,
+    )
+    dv_args = eng.dv.device_args()
+    n_dev = jnp.int32(ph.n)
 
     @functools.partial(jax.jit, static_argnames=("reps",))
-    def chained(halo_a, body, reps):
+    def chained(halo_a, body, u8f, reps):
         acc = jnp.int32(0)
         for _ in range(reps):
-            nc, nz, _i, _v = fn(halo_a, body, cap=cap)
-            acc = acc + nc + nz
+            _nc, _nw, _nz, total = fn(
+                halo_a, body, u8f, n_dev, dv_args,
+                cap_w=cap_w, cap_c=cap_c,
+            )
+            acc = acc + total
             body, acc = jax.lax.optimization_barrier((body, acc))
         return acc
 
-    expect1 = int(ncand) + int(nnzw)
-    per_dev = slope_time(jax, chained, (halo_a, body),
-                         lambda r: expect1 * r)
-    # Host verification cost (amortized per scan, numpy).
-    cand = eng.candidates(hs)
-    a = np.frombuffer(hs, np.uint8)
-    a = F._fold_arr(a)
-    t0 = _t.perf_counter()
-    iters = 3
-    for _ in range(iters):
-        pids, ends = eng.verif.verify(a, cand)
-    per_verify = (_t.perf_counter() - t0) / iters
-    # Cross-check against the native C++ DFA walk.
+    per = slope_time(jax, chained, (ph.halo_a, ph.body, ph.u8f),
+                     lambda r: expect * r)
+    return len(hs) / per / 1e9
+
+
+def bench_dict1k(jax, jnp):
+    """Case-insensitive 1K-pattern dictionary, exact overlapping count
+    (BASELINE.json config #3). The reference runs this workload class on
+    its bare automaton at ~0.3-0.9 GB/s (no prefilter applies past 64
+    patterns, teddy/builder.rs:113)."""
+    pats = build_dictionary()
+    n = 1 << 26
+    hs = build_dict_text(n, pats)
+    # Exact expectation from the native C++ DFA walk.
     from ahocorasick_tpu import AhoCorasick
 
     ac = AhoCorasick(pats, ascii_case_insensitive=True, engine="auto",
                      device_threshold=1 << 62)  # force native walk
     want = ac.count_matches(hs)
-    assert len(pids) == want, (len(pids), want)
-    per = per_dev + per_verify
-    log(f"dict1k: device {per_dev*1e3:.3f} ms + verify "
-        f"{per_verify*1e3:.3f} ms ({len(cand)} cands, {want} matches)")
-    return n / per / 1e9
+    log(f"dict1k: native count = {want}")
+    return bench_fp_count(jax, jnp, pats, hs, want, True, "dict1k")
 
 
 def main():
@@ -273,15 +265,24 @@ def main():
     log(f"host count = {expect}")
 
     t0 = time.perf_counter()
-    staged_gbps = bench_staged(jax, jnp, patterns, haystack, expect)
-    log(f"staged (production count path): {staged_gbps:.2f} GB/s "
+    fp_gbps = bench_fp_count(jax, jnp, patterns, haystack, expect,
+                             False, "headline-fp")
+    log(f"fingerprint fused count: {fp_gbps:.2f} GB/s "
         f"(wall {time.perf_counter()-t0:.0f}s)")
     t0 = time.perf_counter()
     bitap_gbps = bench_bitap(jax, jnp, patterns, haystack, expect)
     log(f"bitap single-pass: {bitap_gbps:.2f} GB/s "
         f"(wall {time.perf_counter()-t0:.0f}s)")
+    t0 = time.perf_counter()
+    staged_gbps = bench_staged(jax, jnp, patterns, haystack, expect)
+    log(f"staged two-pass: {staged_gbps:.2f} GB/s "
+        f"(wall {time.perf_counter()-t0:.0f}s)")
+    t0 = time.perf_counter()
+    dict1k_gbps = bench_dict1k(jax, jnp)
+    log(f"dict1k fused count: {dict1k_gbps:.2f} GB/s "
+        f"(wall {time.perf_counter()-t0:.0f}s)")
 
-    gbps = max(staged_gbps, bitap_gbps)
+    gbps = max(staged_gbps, bitap_gbps, fp_gbps)
     print(
         json.dumps(
             {
@@ -293,8 +294,10 @@ def main():
                 "vs_reference_default_51gbps": round(
                     gbps / BASELINE_DEFAULT_GBPS, 2
                 ),
-                "staged_gbps": round(staged_gbps, 2),
+                "fingerprint_fused_gbps": round(fp_gbps, 2),
                 "bitap_single_pass_gbps": round(bitap_gbps, 2),
+                "staged_gbps": round(staged_gbps, 2),
+                "dict1k_case_insensitive_gbps": round(dict1k_gbps, 2),
             }
         )
     )

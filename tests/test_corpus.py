@@ -11,6 +11,7 @@ import pytest
 import corpus
 from ahocorasick_tpu import (
     AhoCorasick,
+    AhoCorasickKind,
     Anchored,
     Input,
     MatchKind,
@@ -30,6 +31,15 @@ CONFIGS = [
     ("device_nobc", dict(engine="dfa-scan", byte_classes=False)),
     ("oracle", dict(engine="oracle")),
     ("auto", dict()),
+    # Bucketed fingerprint filter + exact verification, forced even for
+    # pattern sets the exact engine could take.
+    ("fingerprint", dict(engine="fingerprint", device_threshold=0)),
+    # dense_depth crosses on the contiguous host walk: all-sparse (0)
+    # and all-dense (usize::MAX analog), per tests.rs:686-863.
+    ("contig_sparse", dict(engine="oracle", dense_depth=0,
+                           kind=AhoCorasickKind.CONTIGUOUS_NFA)),
+    ("contig_dense", dict(engine="oracle", dense_depth=1 << 20,
+                          kind=AhoCorasickKind.CONTIGUOUS_NFA)),
 ]
 
 NONOVERLAPPING_COLLECTIONS = [

@@ -181,3 +181,70 @@ def test_earliest_semantics():
     assert ac.find(Input("foofoo")).astuple() == (1, 0, 6)
     got = ac.find(Input("foofoo").set_earliest(True))
     assert got.astuple() == (0, 0, 3)
+
+
+# ---------------------------------------------------------------------------
+# Automaton debug dump (nfa/noncontiguous.rs:1691-1762, dfa.rs:305-381)
+# ---------------------------------------------------------------------------
+def test_debug_dump():
+    from ahocorasick_tpu.utils.debug import sparse_transitions
+
+    ac = AhoCorasick(["abc", "bc", "b"], match_kind=MatchKind.LEFTMOST_FIRST)
+    s = ac.debug_str()
+    assert "noncontiguous::NFA(" in s and "dfa::DFA(" in s
+    # Match states are starred with their pattern lists.
+    assert "*" in s and "fail =>" in s
+    # Range collapsing (automaton.rs:1583-1608).
+    assert list(sparse_transitions([(0, 5), (1, 5), (2, 7), (9, 7)])) == [
+        (0, 1, 5), (2, 2, 7), (9, 9, 7)
+    ]
+    capped = ac.debug_str(max_states=2)
+    assert "more states" in capped
+
+
+def test_overlapping_resumable_device_backed():
+    """try_find_overlapping backed by the device match set must emit the
+    same sequence as the oracle walk, including resumption on a changed
+    input (the state devolves to the carried automaton walk)."""
+    pats = ["foo", "foofoo", "oo"]
+    hay = b"foofoo" * 40
+    ac = AhoCorasick(pats, device_threshold=16)
+    aco = AhoCorasick(pats, engine="oracle")
+
+    def drain(a, h, limit=None):
+        from ahocorasick_tpu import OverlappingState
+
+        st = OverlappingState()
+        out = []
+        while limit is None or len(out) < limit:
+            a.try_find_overlapping(Input(h), st)
+            m = st.get_match()
+            if m is None:
+                break
+            out.append(m.astuple())
+        return out, st
+
+    got, _ = drain(ac, hay)
+    want, _ = drain(aco, hay)
+    assert got == want and len(got) > 100
+
+    # Mid-drain input switch: continue on an extended haystack.
+    got_partial, st = drain(ac, hay, limit=5)
+    hay2 = hay + b"foo"
+    rest = []
+    while True:
+        ac.try_find_overlapping(Input(hay2), st)
+        m = st.get_match()
+        if m is None:
+            break
+        rest.append(m.astuple())
+    wo_partial, sto = drain(aco, hay, limit=5)
+    wrest = []
+    while True:
+        aco.try_find_overlapping(Input(hay2), sto)
+        m = sto.get_match()
+        if m is None:
+            break
+        wrest.append(m.astuple())
+    assert got_partial == wo_partial
+    assert rest == wrest

@@ -54,11 +54,16 @@ def _oracle_pairs(pats, hs, ci=False):
 
 
 @pytest.mark.parametrize("count,ci", [(150, False), (400, True)])
-def test_match_pairs_vs_oracle(count, ci):
+@pytest.mark.parametrize("device_verify", [True, False])
+def test_match_pairs_vs_oracle(count, ci, device_verify):
     rng = np.random.default_rng(count)
     pats = _dictionary(rng, count)
     hs = _text_with_matches(rng, 1 << 15, pats)
     eng = FingerprintEngine(pats, ci)
+    if device_verify:
+        assert eng.dv is not None  # letters-only set must support it
+    else:
+        eng.dv = None  # force the host verification path
     got = eng.match_pairs(hs)
     assert got is not None
     pids, ends = got

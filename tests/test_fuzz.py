@@ -36,18 +36,23 @@ def gen_case(rng):
         ascii_case_insensitive=bool(rng.integers(2)),
         byte_classes=bool(rng.integers(2)),
         prefilter=bool(rng.integers(2)),
-        dense_depth=int(rng.integers(0, 4)),
+        # MAX-analog (1 << 20) crosses the all-dense contiguous encoding
+        # the way tests.rs:686-863 does.
+        dense_depth=[0, 1, 2, 3, 1 << 20][int(rng.integers(5))],
         kind=[None, AhoCorasickKind.CONTIGUOUS_NFA,
               AhoCorasickKind.DFA][int(rng.integers(3))],
     )
-    engine = ["bitap", "dfa-scan", "auto"][int(rng.integers(3))]
+    engines = ["bitap", "dfa-scan", "auto", "device-only", "fingerprint"]
+    engine = engines[int(rng.integers(len(engines)))]
+    if engine == "fingerprint" and any(len(p) == 0 for p in pats):
+        engine = "auto"  # empty patterns are outside the filter engine
     return pats, hay, cfg, engine
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(12))
 def test_fuzz_cross_product(seed):
     rng = np.random.default_rng(1000 + seed)
-    for _ in range(8):
+    for _ in range(16):
         pats, hay, cfg, engine = gen_case(rng)
         truth = AhoCorasick(pats, engine="oracle", **cfg)
         want = [m.astuple() for m in truth.find_iter(Input(hay))]
