@@ -561,11 +561,11 @@ def _baked_jit(tables_key, K: int, L: int, Lc: int, H: int, tiles: int,
         total = jnp.sum(res[0])
         if not extract:
             return total
+        from .compaction import select_nonzero_words
+
         flat = res[1].reshape(-1)
-        nz = flat != 0
-        nnzw = jnp.sum(nz.astype(jnp.int32))
-        (idx,) = jnp.nonzero(nz, size=cap, fill_value=flat.shape[0])
-        vals = jnp.take(flat, jnp.minimum(idx, flat.shape[0] - 1))
+        nnzw, widx, vals, live = select_nonzero_words(flat, cap)
+        idx = jnp.where(live, widx, flat.shape[0])
         return total, nnzw, idx, vals
 
     if extract:
@@ -639,14 +639,14 @@ def _extract_compact(lo, hi, sm, em, halo, body, n,
     the (out-of-range) word array size. One device roundtrip total — the
     full words array never leaves the device.
     """
+    from .compaction import select_nonzero_words
+
     total, words = _bitap_call(lo, hi, sm, em, halo, body, n,
                                K=K, L=L, Lc=Lc, H=H, tiles=tiles,
                                extract=True)
     flat = words.reshape(-1)
-    nz = flat != 0
-    nnzw = jnp.sum(nz.astype(jnp.int32))
-    (idx,) = jnp.nonzero(nz, size=cap, fill_value=flat.shape[0])
-    vals = jnp.take(flat, jnp.minimum(idx, flat.shape[0] - 1))
+    nnzw, widx, vals, live = select_nonzero_words(flat, cap)
+    idx = jnp.where(live, widx, flat.shape[0])
     return total, nnzw, idx, vals
 
 

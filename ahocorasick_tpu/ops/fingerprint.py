@@ -20,15 +20,25 @@ shift-AND Pallas kernel the exact engine uses (ops/bitap.py):
      ("some bucket's fingerprint ends here") — n/8 bytes of output
      regardless of K — plus a candidate count. Set words are compacted
      on device; only O(#candidates) data crosses the link.
-  3. *Exact verification.* Every candidate position is resolved against
-     per-length-class sorted prefix keys (the first min(len,8) bytes of
-     every pattern, packed into uint64): an exact-prefix hit maps to the
-     pattern IDs sharing that prefix (CSR), and patterns longer than 8
-     bytes get a vectorized tail compare. This replaces Teddy's
-     bucket-local memcmp loop (generic.rs:820-870) with batched
-     column-compare passes, and makes the filter's nybble-product false
-     positives (and bucket collisions) cost time only, never
-     correctness.
+  3. *Exact verification.* Candidate positions resolve to matches ON
+     DEVICE (DeviceVerify): succinct rank/select turns the bitmap into
+     positions (ops/compaction.py), each position extracts a window via
+     one strided-row gather, per length class the fingerprint bytes
+     hash into a cuckoo table whose slot holds the whole pattern group
+     as one packed row (pattern bytes + pids + lens), and full-pattern
+     byte compares confirm — so hash collisions and filter false
+     positives cost time, never correctness. This is Teddy's verify64
+     (generic.rs:820-870) rebuilt from ops a TPU is fast at: row
+     gathers (~10 ns/row), element gathers (~3 ns), and wide vector
+     compares — never jnp.nonzero/searchsorted/byte-gathers, which
+     lower 1-2 orders of magnitude slower (measured; see
+     experiments/gather_micro.py). Small inputs and oversized patterns
+     verify on the host instead (VerifyIndex, vectorized numpy).
+
+Plans adapt at runtime: the engine starts at the cheapest filter level
+(PLAN_LEVELS limb budgets) and escalates to finer buckets only when the
+measured candidate rate on real input demands it; candidate-dense
+(hostile) inputs fall back to the native walk via the facade.
 
 The output is the complete overlapping (pattern, end) match set in the
 reference's report order — identical contract to BitapEngine.match_pairs,
@@ -59,6 +69,11 @@ from .bitap import (
 )
 
 FP_LEN = 8          # fingerprint bytes per bucket chain (cap)
+FP_BAKED_MIN = 1 << 20  # bake tables into the kernel above this size
+# Below this haystack size candidates verify on the host (numpy): the
+# device-verify pipeline's jit is specialized per verify-table shape,
+# which only pays off on large scans.
+FP_DV_MIN = 1 << 18
 K_TARGET = 16       # preferred limb budget (kernel cost is ~linear in K)
 K_MAX = 64          # absolute limb bound (beyond: host-walk fallback)
 # Candidate positions above max(CAND_FLOOR, n >> CAND_SHIFT) mark the
@@ -89,14 +104,35 @@ def _mclass(n: int) -> int:
 # ---------------------------------------------------------------------------
 # Tables
 # ---------------------------------------------------------------------------
+def strong_pad_byte(patterns: List[bytes],
+                    case_insensitive: bool) -> Optional[int]:
+    """A byte whose lo OR hi nybble no pattern byte uses: its charmask
+    is zero under ANY bucketing, so one packed haystack (padded with
+    it) serves every plan level."""
+    los, his = set(), set()
+    for p in patterns:
+        for ch in p:
+            vs = {ch}
+            if case_insensitive and 0x61 <= (ch | 0x20) <= 0x7A:
+                vs = {ch | 0x20, ch & ~0x20}
+            for v in vs:
+                los.add(v & 15)
+                his.add(v >> 4)
+    for b in range(256):
+        if (b & 15) not in los or (b >> 4) not in his:
+            return b
+    return None
+
+
 class FingerprintTables:
     """Bucketed chain masks in the bitap kernel's (lo, hi, start, end)
     table format, plus the bucket plan used to pick K."""
 
-    def __init__(self, patterns: List[bytes], case_insensitive: bool):
+    def __init__(self, patterns: List[bytes], case_insensitive: bool,
+                 k_budget: int = K_MAX):
         assert patterns and all(len(p) > 0 for p in patterns)
         self.case_insensitive = case_insensitive
-        plan = plan_buckets(patterns, case_insensitive)
+        plan = plan_buckets(patterns, case_insensitive, k_budget)
         assert plan is not None, "caller must check eligibility"
         buckets, offsets, K = plan
         self.num_buckets = len(buckets)
@@ -149,20 +185,32 @@ class FingerprintTables:
         )
 
 
-# Selectivity model for bucket planning: a chain position whose nybble
-# product set covers s byte values passes a text byte with probability
-# ~ s / TEXT_ALPHABET (text bytes are concentrated, not uniform over
-# 256). The planner keeps the estimated per-position candidate
+# Selectivity model for bucket planning: the probability that a text
+# byte passes a chain position's nybble-product mask is estimated as
+# |product set ∩ text alphabet| / |text alphabet|, with the text
+# alphabet modeled as the bytes the patterns themselves use (plus
+# space) — dictionaries are searched in text drawn from the same
+# alphabet. The planner keeps the estimated per-position candidate
 # probability under CAND_BUDGET.
-TEXT_ALPHABET = 48.0
 CAND_BUDGET = 0.003
 
 
-def _class_prob(folded, pids_sorted, m, b, case_insensitive) -> float:
+def _model_alphabet(folded) -> np.ndarray:
+    seen = {0x20}
+    for p in folded:
+        seen.update(p)
+    return np.array(sorted(seen), np.uint8)
+
+
+def _class_prob(folded, pids_sorted, m, b, case_insensitive,
+                alphabet) -> float:
     """Estimated per-position candidate probability contributed by class
     m when sliced into buckets of ~b members (sorted order)."""
     nb = -(-len(pids_sorted) // b)
     total = 0.0
+    alo = alphabet & 15
+    ahi = alphabet >> 4
+    asize = max(len(alphabet), 1)
     for chunk in np.array_split(np.asarray(pids_sorted, np.int64), nb):
         prob = 1.0
         for j in range(m):
@@ -175,24 +223,31 @@ def _class_prob(folded, pids_sorted, m, b, case_insensitive) -> float:
                 for v in vs:
                     los.add(v & 15)
                     his.add(v >> 4)
-            prob *= min(1.0, len(los) * len(his) / TEXT_ALPHABET)
+            hits = int(np.sum(
+                np.isin(alo, list(los)) & np.isin(ahi, list(his))
+            ))
+            prob *= min(1.0, max(hits, 1) / asize)
         total += prob
     return total
 
 
-def plan_buckets(patterns: List[bytes], case_insensitive: bool):
+def plan_buckets(patterns: List[bytes], case_insensitive: bool,
+                 k_budget: int = K_MAX):
     """Group patterns into fingerprint buckets and pack their chains.
 
     Returns (buckets, offsets, K) with buckets = [(chain_len, [pid])],
-    or None when no bucketing fits the K_MAX limb budget. Patterns are
-    grouped by chain length class m = min(len, FP_LEN) and sorted
+    or None when no bucketing fits the k_budget limb budget. Patterns
+    are grouped by chain length class m (see _mclass) and sorted
     (folded) so bucket members share prefixes; per-class bucket sizes
     start coarse (cheapest kernel) and halve greedily — worst
     estimated-selectivity class first — until the modeled candidate
-    probability fits CAND_BUDGET or the K_MAX limb budget is exhausted.
+    probability fits CAND_BUDGET or the limb budget is exhausted.
     This is the planning analog of Teddy's bucket-quality heuristics
     (teddy/builder.rs:113-177, generic.rs:770-808) driven by an explicit
-    false-positive model instead of fixed bucket counts."""
+    false-positive model instead of fixed bucket counts. The engine
+    holds a LADDER of plans (PLAN_LEVELS) and escalates to a finer,
+    costlier filter only when the measured candidate rate on real input
+    demands it."""
     folded = [_fold(p) if case_insensitive else p for p in patterns]
     classes = {}
     grouped = defaultdict(list)
@@ -210,10 +265,12 @@ def plan_buckets(patterns: List[bytes], case_insensitive: bool):
             lens += [m] * nb
         return pack_chains(lens)[1]
 
-    if k_of(bsize) > K_MAX:
+    if k_of(bsize) > k_budget:
         return None
+    alphabet = _model_alphabet(folded)
     probs = {
-        m: _class_prob(folded, classes[m], m, bsize[m], case_insensitive)
+        m: _class_prob(folded, classes[m], m, bsize[m], case_insensitive,
+                       alphabet)
         for m in classes
     }
     while sum(probs.values()) > CAND_BUDGET:
@@ -223,10 +280,11 @@ def plan_buckets(patterns: List[bytes], case_insensitive: bool):
                 continue
             trial = dict(bsize)
             trial[m] = bsize[m] // 2
-            if k_of(trial) <= K_MAX:
+            if k_of(trial) <= k_budget:
                 bsize = trial
                 probs[m] = _class_prob(
-                    folded, classes[m], m, bsize[m], case_insensitive
+                    folded, classes[m], m, bsize[m], case_insensitive,
+                    alphabet
                 )
                 break
         else:
@@ -450,14 +508,24 @@ def _fp_pallas(kernel, generic_args, halo, body, K, L, Lc, tiles, Hw):
     )(*args)
 
 
-def _compact(cnt, bmp, cap):
-    ncand = jnp.sum(cnt)
-    flat = bmp.reshape(-1)
-    nz = flat != 0
-    nnzw = jnp.sum(nz.astype(jnp.int32))
-    (idx,) = jnp.nonzero(nz, size=cap, fill_value=flat.shape[0])
-    vals = jnp.take(flat, jnp.minimum(idx, flat.shape[0] - 1))
-    return ncand, nnzw, idx, vals
+def _rank_select(bmp, L: int, cap: int):
+    """Candidate positions = the first `cap` set bits of the bitmap
+    (succinct rank/select, see ops/compaction.py — replaces
+    jnp.nonzero, measured 18.9 ms vs ~2 ms for 2M words).
+
+    Returns (total set bits, e_pos[cap] int32 positions, live[cap]).
+    """
+    from .compaction import select_set_bits
+
+    ncand, widx, bitpos, live = select_set_bits(bmp.reshape(-1), cap)
+    # Decode the flat [tiles, L//32, R, 128] word index to a position.
+    c = widx % 128
+    r = (widx // 128) % R
+    t32 = (widx // (128 * R)) % (L // 32)
+    tile = widx // (128 * R * (L // 32))
+    stream = (tile * R + r) * 128 + c
+    e_pos = stream * L + t32 * 32 + bitpos
+    return ncand, e_pos, live
 
 
 @functools.lru_cache(maxsize=64)
@@ -467,7 +535,7 @@ def _fp_baked_jit(tables_key, K: int, L: int, Lc: int, H: int, tiles: int):
     def fn(halo, body, cap):
         cnt, bmp = _fp_pallas(kernel, None, halo, body,
                               K, L, Lc, tiles, H // 4)
-        return _compact(cnt, bmp, cap)
+        return _rank_select(bmp, L, cap)
 
     return jax.jit(fn, static_argnames=("cap",))
 
@@ -480,7 +548,7 @@ def _fp_call(lo, hi, sm, em, halo, body, nn,
     kernel = _make_fp_kernel(K, L, Lc, H)
     cnt, bmp = _fp_pallas(kernel, (lo, hi, sm, em, nn), halo, body,
                           K, L, Lc, tiles, H // 4)
-    return _compact(cnt, bmp, cap)
+    return _rank_select(bmp, L, cap)
 
 
 # ---------------------------------------------------------------------------
@@ -551,22 +619,18 @@ class DeviceVerify:
 
     def __init__(self, patterns: List[bytes], case_insensitive: bool):
         assert self.supports(patterns)
-        P = len(patterns)
         folded = [_fold(p) if case_insensitive else p for p in patterns]
         self.W = max(FP_LEN, max(len(p) for p in patterns))
         W = self.W
         plens = np.array([len(p) for p in patterns], np.int64)
-        patmat = np.zeros((P, W), np.uint8)
-        dontcare = np.ones((P, W), bool)
-        m_arr = np.array([_mclass(int(x)) for x in plens], np.int64)
-        for pid, p in enumerate(folded):
-            off = FP_LEN - int(m_arr[pid])
-            patmat[pid, off:off + len(p)] = np.frombuffer(p, np.uint8)
-            dontcare[pid, off:off + len(p)] = False
-        self.patmat = patmat
-        self.dontcare = dontcare
         self.plens = plens
+        m_arr = np.array([_mclass(int(x)) for x in plens], np.int64)
         # Per length class: hashed cuckoo table of class-c prefixes.
+        # Each slot stores its whole pattern GROUP as one concatenated
+        # row (gmax patterns x W bytes + masks + lens + pids), so
+        # resolving a candidate costs ONE row gather per class
+        # regardless of group size (TPU row gathers are ~10ns/row
+        # independent of width).
         groups = defaultdict(list)
         for pid, p in enumerate(folded):
             groups[int(m_arr[pid])].append(pid)
@@ -594,61 +658,78 @@ class DeviceVerify:
             a, b, logT, slot = _build_cuckoo(hs.tolist(), rng)
             T = 1 << logT
             tkeys = np.zeros(T, np.uint32)  # 0 never matches: see below
-            tpids = np.full((T, gmax), -1, np.int32)
+            # Packed group row: [gmax*W pattern bytes][gmax*4 pid LE]
+            # [gmax*4 len LE]; dontcare masks derive from the lens on
+            # device. ONE row gather resolves a candidate's whole group.
+            grow = np.zeros((T, gmax * (W + 8)), np.uint8)
+            gpid = np.full((T, gmax), -1, np.int32)
+            glen = np.zeros((T, gmax), np.int32)
+            off = FP_LEN - c  # pattern start offset within the window
             for i, key in enumerate(keys):
-                tkeys[slot[i]] = hs[i]
+                si = slot[i]
+                tkeys[si] = hs[i]
                 for s, pid in enumerate(keymap[key]):
-                    tpids[slot[i], s] = pid
+                    p = folded[pid]
+                    gpid[si, s] = pid
+                    glen[si, s] = len(p)
+                    grow[si, s * W + off:s * W + off + len(p)] = (
+                        np.frombuffer(p, np.uint8)
+                    )
+            grow[:, gmax * W:gmax * (W + 4)] = (
+                gpid.astype("<i4").view(np.uint8).reshape(T, -1)
+            )
+            grow[:, gmax * (W + 4):] = (
+                glen.astype("<i4").view(np.uint8).reshape(T, -1)
+            )
             # Empty slots hold key 0; a real key hashing to 0 would
             # false-positive into pid -1, which the pid>=0 mask drops.
             self.classes[c] = (mult, np.uint32(a), np.uint32(b), logT,
-                               tkeys, tpids)
+                               tkeys, gmax, grow)
         self._dev = None
 
     def device_args(self):
         if self._dev is None:
             self._dev = {
-                "patmat": jnp.asarray(self.patmat),
-                "dontcare": jnp.asarray(self.dontcare),
-                "plens": jnp.asarray(self.plens.astype(np.int32)),
                 "classes": {
                     c: (jnp.uint32(m), jnp.uint32(a), jnp.uint32(b),
-                        logT, jnp.asarray(tk), jnp.asarray(tp))
-                    for c, (m, a, b, logT, tk, tp)
+                        jnp.asarray(tk), jnp.asarray(gr))
+                    for c, (m, a, b, logT, tk, gmax, gr)
                     in self.classes.items()
                 },
             }
         return self._dev
 
     def key(self):
-        """Hashable identity for jit caching."""
+        """Hashable SHAPE identity for jit caching — values are traced
+        (device_args), so one compile serves every pattern set with the
+        same window and class-table shapes."""
         return (
             self.W,
-            tuple(self.plens.tolist()),
             tuple(sorted(
-                (c, int(m), logT, tp.shape[1])
-                for c, (m, a, b, logT, tk, tp)
+                (c, logT, gmax)
+                for c, (m, a, b, logT, tk, gmax, gr)
                 in self.classes.items()
             )),
         )
 
 
-def _device_verify(wnd, e_pos, live, n, dv_args, W, extract, cap_m=None):
+def _device_verify(wnd, e_pos, live, n, dv_args, W, extract, cap_m,
+                   meta):
     """Resolve candidate windows to matches on device.
 
     wnd: [C, W] uint8 windows anchored at e_pos - (FP_LEN - 1);
     live: [C] bool validity. Returns total match count and, in extract
     mode, compacted (flat_slot_index, pid, end) arrays of size cap_m.
     """
-    patmat = dv_args["patmat"]
-    dontcare = dv_args["dontcare"]
-    plens = dv_args["plens"]
     total = jnp.int32(0)
     oks, pids_s, ends_s = [], [], []
-    for c, (mult, ha, hb, logT, tkeys, tpids) in sorted(
+    C = wnd.shape[0]
+    for c, (mult, ha, hb, tkeys, grow) in sorted(
         dv_args["classes"].items()
     ):
-        h = jnp.zeros(wnd.shape[0], jnp.uint32)
+        logT, gmax = meta[c]
+        W = grow.shape[1] // gmax - 8
+        h = jnp.zeros(C, jnp.uint32)
         for j in range(FP_LEN - c, FP_LEN):
             h = h * mult + wnd[:, j].astype(jnp.uint32)
         # Cuckoo membership: two element gathers + compares.
@@ -660,83 +741,105 @@ def _device_verify(wnd, e_pos, live, n, dv_args, W, extract, cap_m=None):
         gi = jnp.where(use1, s1, s2)
         hit = (use1 | use2) & live
         sp = e_pos - (c - 1)  # candidate match start for this class
-        for slot in range(tpids.shape[1]):
-            pid = jnp.take(tpids[:, slot], gi)
-            pidc = jnp.maximum(pid, 0)
-            prow = jnp.take(patmat, pidc, axis=0)
-            pmask = jnp.take(dontcare, pidc, axis=0)
-            eq = jnp.all((wnd == prow) | pmask, axis=1)
-            pl_ = jnp.take(plens, pidc)
-            ok = (
-                hit & (pid >= 0) & eq
-                & (sp >= 0) & (sp + pl_ <= n)
-            )
-            total = total + jnp.sum(ok.astype(jnp.int32))
-            if extract:
-                oks.append(ok)
-                pids_s.append(pidc)
-                ends_s.append(sp + pl_)
+        # ONE row gather: the slot's packed pattern group.
+        row = jnp.take(grow, gi, axis=0)
+        rows_p = row[:, :gmax * W].reshape(C, gmax, W)
+
+        def le32(seg):  # [C, gmax, 4] uint8 -> int32 little-endian
+            s32 = seg.astype(jnp.int32)
+            return (s32[..., 0] | (s32[..., 1] << 8)
+                    | (s32[..., 2] << 16) | (s32[..., 3] << 24))
+
+        pids = le32(row[:, gmax * W:gmax * (W + 4)].reshape(C, gmax, 4))
+        lens = le32(row[:, gmax * (W + 4):].reshape(C, gmax, 4))
+        # Compare window bytes inside [off, off+len); outside is
+        # dontcare (derived, no mask table needed).
+        off = FP_LEN - c
+        jpos = jnp.arange(W, dtype=jnp.int32)
+        care = (
+            (jpos[None, None, :] >= off)
+            & (jpos[None, None, :] < off + lens[:, :, None])
+        )
+        eq = jnp.all((wnd[:, None, :] == rows_p) | ~care, axis=2)
+        ok = (
+            hit[:, None] & (pids >= 0) & eq
+            & (sp >= 0)[:, None] & (sp[:, None] + lens <= n)
+        )
+        total = total + jnp.sum(ok.astype(jnp.int32))
+        if extract:
+            oks.append(ok.reshape(-1))
+            pids_s.append(pids.reshape(-1))
+            ends_s.append((sp[:, None] + lens).reshape(-1))
     if not extract:
         return total, None, None, None
-    okm = jnp.stack(oks).reshape(-1)
-    pidm = jnp.stack(pids_s).reshape(-1)
-    endm = jnp.stack(ends_s).reshape(-1)
-    (mi,) = jnp.nonzero(okm, size=cap_m, fill_value=okm.shape[0])
-    safe = jnp.minimum(mi, okm.shape[0] - 1)
-    out_pid = jnp.where(mi < okm.shape[0], jnp.take(pidm, safe), -1)
-    out_end = jnp.where(mi < okm.shape[0], jnp.take(endm, safe), -1)
+    okm = jnp.concatenate(oks)
+    pidm = jnp.concatenate(pids_s)
+    endm = jnp.concatenate(ends_s)
+    pad = (-okm.shape[0]) % 128
+    if pad:
+        okm = jnp.concatenate([okm, jnp.zeros(pad, bool)])
+        pidm = jnp.concatenate([pidm, jnp.zeros(pad, jnp.int32)])
+        endm = jnp.concatenate([endm, jnp.zeros(pad, jnp.int32)])
+    from .compaction import select_nonzero_words
+
+    _, mi, _, mlive = select_nonzero_words(okm.astype(jnp.int32), cap_m)
+    out_pid = jnp.where(mlive, jnp.take(pidm, mi), -1)
+    out_end = jnp.where(mlive, jnp.take(endm, mi), -1)
     return total, total, out_pid, out_end
-
-
-def _expand_candidates(idx_w, vals, words_size, L, cap_c):
-    """Decode compacted bitmap words to candidate positions on device."""
-    valid_w = idx_w < words_size
-    idxc = jnp.minimum(idx_w, words_size - 1)
-    cc = idxc % 128
-    r = (idxc // 128) % R
-    t32 = (idxc // (128 * R)) % (L // 32)
-    tile = idxc // (128 * R * (L // 32))
-    stream = (tile * R + r) * 128 + cc
-    base = stream * L + t32 * 32
-    bits = (
-        (vals[:, None] >> jnp.arange(32, dtype=jnp.int32)) & 1
-    ) != 0
-    bits = bits & valid_w[:, None]
-    posm = base[:, None] + jnp.arange(32, dtype=jnp.int32)
-    flat_ok = bits.reshape(-1)
-    nnzc = jnp.sum(flat_ok.astype(jnp.int32))
-    (ci,) = jnp.nonzero(flat_ok, size=cap_c, fill_value=flat_ok.shape[0])
-    live = ci < flat_ok.shape[0]
-    safe = jnp.minimum(ci, flat_ok.shape[0] - 1)
-    e_pos = jnp.take(posm.reshape(-1), safe)
-    return e_pos, live, nnzc
 
 
 @functools.lru_cache(maxsize=64)
 def _fp_verified_jit(tables_key, dv_key, K: int, L: int, Lc: int, H: int,
                      tiles: int, W: int, extract: bool):
-    """Fused: bitmap kernel -> word compaction -> candidate expansion ->
-    windowed device verification. One dispatch; only scalars (count
-    mode) or O(#matches) pairs (extract mode) leave the device."""
+    """Fused (baked kernel): bitmap kernel -> rank-select candidate
+    positions -> windowed device verification. One dispatch; only
+    scalars (count mode) or O(#matches) pairs (extract mode) leave the
+    device. Compiled per pattern set (tables are constants) — used for
+    large haystacks; small ones ride the table-generic variant below,
+    whose compilation is shared across same-shaped pattern sets."""
     kernel = _make_fp_baked_kernel(*tables_key, K, Lc, H)
-    words_size = tiles * (L // 32) * LANES
+    meta = {c: (logT, gmax) for (c, logT, gmax) in dv_key[1]}
 
-    def fn(halo, body, u8f, n, dv_args, cap_w, cap_c, cap_m=None):
+    def fn(halo, body, u8f, n, dv_args, cap_c, cap_m=None):
         cnt, bmp = _fp_pallas(kernel, None, halo, body,
                               K, L, Lc, tiles, H // 4)
-        ncand, nnzw, idx_w, vals = _compact(cnt, bmp, cap_w)
-        e_pos, live, nnzc = _expand_candidates(
-            idx_w, vals, words_size, L, cap_c
-        )
+        ncand, e_pos, live = _rank_select(bmp, L, cap_c)
         wnd = _gather_windows(u8f, e_pos, W)
         total, nmatch, out_pid, out_end = _device_verify(
-            wnd, e_pos, live, n, dv_args, W, extract, cap_m
+            wnd, e_pos, live, n, dv_args, W, extract, cap_m, meta
         )
         if extract:
-            return ncand, nnzw, nnzc, total, out_pid, out_end
-        return ncand, nnzw, nnzc, total
+            return ncand, total, out_pid, out_end
+        return ncand, total
 
-    static = ("cap_w", "cap_c", "cap_m") if extract else ("cap_w", "cap_c")
+    static = ("cap_c", "cap_m") if extract else ("cap_c",)
+    return jax.jit(fn, static_argnames=static)
+
+
+@functools.lru_cache(maxsize=64)
+def _fp_verified_generic_jit(dv_key, K: int, L: int, Lc: int, H: int,
+                             tiles: int, W: int, extract: bool):
+    """Table-generic fused pipeline: masks in SMEM, verify tables as
+    traced arrays — one compile serves every pattern set with the same
+    (K, layout, verify-table shapes)."""
+
+    meta = {c: (logT, gmax) for (c, logT, gmax) in dv_key[1]}
+
+    def fn(lo, hi, sm, em, nn, halo, body, u8f, n, dv_args,
+           cap_c, cap_m=None):
+        kernel = _make_fp_kernel(K, L, Lc, H)
+        cnt, bmp = _fp_pallas(kernel, (lo, hi, sm, em, nn), halo, body,
+                              K, L, Lc, tiles, H // 4)
+        ncand, e_pos, live = _rank_select(bmp, L, cap_c)
+        wnd = _gather_windows(u8f, e_pos, W)
+        total, nmatch, out_pid, out_end = _device_verify(
+            wnd, e_pos, live, n, dv_args, W, extract, cap_m, meta
+        )
+        if extract:
+            return ncand, total, out_pid, out_end
+        return ncand, total
+
+    static = ("cap_c", "cap_m") if extract else ("cap_c",)
     return jax.jit(fn, static_argnames=static)
 
 
@@ -917,36 +1020,82 @@ class FpHaystack:
         self.hs = hs
 
 
+# Filter plan ladder: per-level limb budgets. The engine starts at the
+# cheapest level and escalates only when the measured candidate rate on
+# real input exceeds ESC (the runtime analog of the reference declaring
+# a prefilter inert and re-routing, util/prefilter.rs:163-305 — but in
+# the opposite direction: spend more filter only when needed).
+PLAN_LEVELS = (12, 24, 48, K_MAX)
+ESC_FLOOR = 1 << 14
+ESC_SHIFT = 6  # escalate above ~1.6% candidate positions
+
+
 class FingerprintEngine:
     """Facade-facing engine: complete overlapping match sets for pattern
     sets of arbitrary size (bounded by the K_MAX bucket budget).
 
     Verification runs on device (DeviceVerify) when every pattern fits
-    the W_MAX window, fingerprint groups are small, and the table has a
-    pad byte; otherwise candidates fall back to the host VerifyIndex."""
+    the W_MAX window, fingerprint groups are small, and a universal pad
+    byte exists; otherwise candidates fall back to the host
+    VerifyIndex."""
 
     def __init__(self, patterns: List[bytes], case_insensitive: bool):
         self.patterns = patterns
         self.ci = case_insensitive
-        self.tables = FingerprintTables(patterns, case_insensitive)
+        self.pad_byte = strong_pad_byte(patterns, case_insensitive)
+        self._tables_cache = {}
+        self.level: Optional[int] = None
+        for i in range(len(PLAN_LEVELS)):
+            t = self._tables(i)
+            if t is not None:
+                self.level = i
+                break
+        assert self.level is not None, "caller must check eligibility"
+        self.tables = self._tables(self.level)
         self.verif = VerifyIndex(patterns, case_insensitive)
         self.dv: Optional[DeviceVerify] = None
-        if DeviceVerify.supports(patterns) and self.tables.pad_byte is not None:
+        if DeviceVerify.supports(patterns) and self.pad_byte is not None:
             try:
                 self.dv = DeviceVerify(patterns, case_insensitive)
             except ValueError:
                 self.dv = None  # oversized groups / no hash: host verify
         self._dev_args = None
-        self.halo = max(_pow2(self.tables.max_chain - 1), 4)
+        # Chains are at most FP_LEN bytes at every level.
+        self.halo = max(_pow2(FP_LEN - 1), 4)
         self.max_pattern_len = int(self.verif.plens.max())
         self.hostile = False  # set when a scan came back candidate-dense
+
+    def _tables(self, lvl: int) -> Optional[FingerprintTables]:
+        if lvl not in self._tables_cache:
+            if plan_buckets(self.patterns, self.ci,
+                            PLAN_LEVELS[lvl]) is None:
+                self._tables_cache[lvl] = None
+            else:
+                self._tables_cache[lvl] = FingerprintTables(
+                    self.patterns, self.ci, PLAN_LEVELS[lvl]
+                )
+        return self._tables_cache[lvl]
+
+    def _escalate(self) -> bool:
+        """Move to the next finer plan level; False when maxed out."""
+        for nxt in range(self.level + 1, len(PLAN_LEVELS)):
+            t = self._tables(nxt)
+            if t is not None and t.k > self.tables.k:
+                self.level = nxt
+                self.tables = t
+                self._dev_args = None
+                return True
+        return False
+
+    def _escalate_limit(self, n: int) -> int:
+        return max(ESC_FLOOR, n >> ESC_SHIFT)
 
     @classmethod
     def eligible(cls, patterns: List[bytes],
                  case_insensitive: bool = False) -> bool:
         if not patterns or any(len(p) == 0 for p in patterns):
             return False
-        return plan_buckets(patterns, case_insensitive) is not None
+        return plan_buckets(patterns, case_insensitive, K_MAX) is not None
 
     # ------------------------------------------------------------------
     def _layout(self, n: int) -> Tuple[int, int, int]:
@@ -975,15 +1124,18 @@ class FingerprintEngine:
         from .bitap import _to_stream_major
 
         n = len(hs)
-        t = self.tables
         L, Lc, tiles = self._layout(max(n, 1))
-        baked = t.pad_byte is not None
+        # The universal pad byte is valid at every plan level, so one
+        # upload serves escalations. Constant-baked kernels are only
+        # worth their per-pattern-set compile above FP_BAKED_MIN;
+        # smaller inputs share the table-generic compiles.
+        baked = self.pad_byte is not None and n >= FP_BAKED_MIN
         x32 = jax.device_put(
-            self._pack(hs, L, tiles, t.pad_byte if baked else 0)
+            self._pack(hs, L, tiles, self.pad_byte or 0)
         )
         halo_a, body = _to_stream_major(x32, L, tiles, self.halo)
         u8f = None
-        if self.dv is not None and baked:
+        if self.dv is not None and n >= FP_DV_MIN:
             u8f = _unpack_fold(x32, self.dv.W, self.ci)
         return FpHaystack(n, L, Lc, tiles, baked, halo_a, body, u8f, hs)
 
@@ -992,44 +1144,51 @@ class FingerprintEngine:
 
     def _verified(self, ph: FpHaystack, extract: bool):
         """Fused device pipeline; returns count or (pids, ends), or None
-        when hostile. Caps adapt by re-dispatching with larger sizes."""
-        t = self.tables
+        when hostile. Caps adapt by re-dispatching with larger sizes;
+        candidate-dense inputs escalate the filter plan level first."""
         n, L, Lc, tiles = ph.n, ph.L, ph.Lc, ph.tiles
         limit = self._hostile_limit(n)
+        esc = self._escalate_limit(n)
         dv_args = self.dv.device_args()
         n_dev = jnp.int32(n)
-        cap_w, cap_c, cap_m = 4096, 8192, 8192
+        cap_c, cap_m = 8192, 8192
+        nn = jnp.asarray([0, n], jnp.int32)
         while True:
-            fn = _fp_verified_jit(
-                t.baked_key(), self.dv.key(), t.k, L, Lc, self.halo,
-                tiles, self.dv.W, extract,
-            )
+            t = self.tables
+            if ph.baked:
+                fn = _fp_verified_jit(
+                    t.baked_key(), self.dv.key(), t.k, L, Lc, self.halo,
+                    tiles, self.dv.W, extract,
+                )
+                args = (ph.halo_a, ph.body, ph.u8f, n_dev, dv_args)
+            else:
+                fn = _fp_verified_generic_jit(
+                    self.dv.key(), t.k, L, Lc, self.halo,
+                    tiles, self.dv.W, extract,
+                )
+                args = (*self._args(), nn, ph.halo_a, ph.body, ph.u8f,
+                        n_dev, dv_args)
             if extract:
-                ncand, nnzw, nnzc, total, out_pid, out_end = fn(
-                    ph.halo_a, ph.body, ph.u8f, n_dev, dv_args,
-                    cap_w=cap_w, cap_c=cap_c, cap_m=cap_m,
+                ncand, total, out_pid, out_end = fn(
+                    *args, cap_c=cap_c, cap_m=cap_m,
                 )
             else:
-                ncand, nnzw, nnzc, total = fn(
-                    ph.halo_a, ph.body, ph.u8f, n_dev, dv_args,
-                    cap_w=cap_w, cap_c=cap_c,
-                )
+                ncand, total = fn(*args, cap_c=cap_c)
+            if int(ncand) > esc and self._escalate():
+                continue
             if int(ncand) > limit:
                 self.hostile = True
                 return None
             ok = True
-            if int(nnzw) > cap_w:
-                cap_w = _pow2(int(nnzw))
-                ok = False
-            if int(nnzc) > cap_c:
-                cap_c = _pow2(int(nnzc))
+            if int(ncand) > cap_c:
+                cap_c = _pow2(int(ncand))
                 ok = False
             if extract and int(total) > cap_m:
                 cap_m = _pow2(int(total))
                 ok = False
             if ok:
                 break
-        self.last_caps = (cap_w, cap_c, cap_m if extract else None)
+        self.last_caps = (cap_c, cap_m if extract else None)
         if not extract:
             return int(total)
         pid = np.asarray(out_pid).astype(np.int64)
@@ -1050,49 +1209,32 @@ class FingerprintEngine:
         n = len(ph.hs)
         if n == 0:
             return np.zeros(0, np.int64)
-        t = self.tables
         L, Lc, tiles, baked = ph.L, ph.Lc, ph.tiles, ph.baked
         halo_a, body = ph.halo_a, ph.body
         limit = self._hostile_limit(n)
+        esc = self._escalate_limit(n)
         cap = 4096
         while True:
+            t = self.tables
             if baked:
                 fn = _fp_baked_jit(t.baked_key(), t.k, L, Lc,
                                    self.halo, tiles)
-                ncand, nnzw, idx, vals = fn(halo_a, body, cap=cap)
+                ncand, e_pos, live = fn(halo_a, body, cap=cap)
             else:
-                ncand, nnzw, idx, vals = _fp_call(
+                ncand, e_pos, live = _fp_call(
                     *self._args(), halo_a, body,
                     jnp.asarray([0, n], jnp.int32),
                     K=t.k, L=L, Lc=Lc, H=self.halo, tiles=tiles, cap=cap,
                 )
+            if int(ncand) > esc and self._escalate():
+                continue
             if int(ncand) > limit:
                 self.hostile = True
                 return None
-            nnzw = int(nnzw)
-            if nnzw <= cap:
+            if int(ncand) <= cap:
                 break
-            cap = max(64, _pow2(nnzw))
-        bmp_size = tiles * (L // 32) * LANES
-        idx = np.asarray(idx).astype(np.int64)
-        vals = np.asarray(vals).view(np.uint32)
-        real = idx < bmp_size
-        idx, vals = idx[real], vals[real]
-        # Decode flat [tiles, L//32, R, 128] word indices to positions.
-        c = idx % 128
-        r = (idx // 128) % R
-        t32 = (idx // (128 * R)) % (L // 32)
-        tile = idx // (128 * R * (L // 32))
-        stream = (tile * R + r) * 128 + c
-        base = stream * L + t32 * 32
-        pos_l = []
-        for bit in range(32):
-            rows = np.flatnonzero((vals >> np.uint32(bit)) & np.uint32(1))
-            if len(rows):
-                pos_l.append(base[rows] + bit)
-        return (
-            np.concatenate(pos_l) if pos_l else np.zeros(0, np.int64)
-        )
+            cap = max(64, _pow2(int(ncand)))
+        return np.asarray(e_pos).astype(np.int64)[np.asarray(live)]
 
     def match_pairs(
         self, hs

@@ -311,16 +311,16 @@ def sharded_bitap_match_pairs(
             check_vma=False,
         )
         def run(lo, hi, sm, em, rows32, nn):
+            from ..ops.compaction import select_nonzero_words
+
             halo_a, body = _to_stream_major(rows32[0], L, tiles, halo)
             total, words = _bitap_call(
                 lo, hi, sm, em, halo_a, body, nn[0],
                 K=t.k, L=L, Lc=Lc, H=halo, tiles=tiles, extract=True,
             )
             flat = words.reshape(-1)
-            nz = flat != 0
-            nnzw = jnp.sum(nz.astype(jnp.int32))
-            (idx,) = jnp.nonzero(nz, size=cap, fill_value=flat.shape[0])
-            vals = jnp.take(flat, jnp.minimum(idx, flat.shape[0] - 1))
+            nnzw, widx, vals, live = select_nonzero_words(flat, cap)
+            idx = jnp.where(live, widx, flat.shape[0])
             return (total[None], nnzw[None], idx[None], vals[None])
 
         return jax.jit(run)(
@@ -350,6 +350,96 @@ def sharded_bitap_match_pairs(
     return np.concatenate(all_pids), np.concatenate(all_ends)
 
 
+def sharded_fp_match_pairs(
+    eng,  # ops.fingerprint.FingerprintEngine
+    haystack: bytes,
+    mesh: Optional[Mesh] = None,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Mesh-parallel fingerprint filtering: each device runs the bitmap
+    kernel over its halo'd shard (candidate window masked to the
+    shard's own positions) and compacts its candidate words on device;
+    the gathered candidate positions verify exactly against the full
+    haystack. Returns None when the workload is filter-hostile."""
+    from ..ops.bitap import LANES, R as R_SUB, _to_stream_major, _pow2
+    from ..ops import fingerprint as F
+
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.devices.size
+    n = len(haystack)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    t = eng.tables
+    halo = eng.halo
+    shard = _round_up(-(-n // ndev), 4)
+    L, Lc, tiles = eng._layout(halo + shard)
+    row_bytes = tiles * LANES * L
+    pad = t.pad_byte if t.pad_byte is not None else 0
+    rows = np.full((ndev, row_bytes), pad, dtype=np.uint8)
+    nn = np.zeros((ndev, 2), dtype=np.int32)
+    buf = np.frombuffer(haystack, dtype=np.uint8)
+    for i in range(ndev):
+        g0 = i * shard
+        lo_ = max(0, g0 - halo)
+        seg = buf[lo_:min(g0 + shard, n)]
+        off = halo - (g0 - lo_)
+        rows[i, off:off + len(seg)] = seg
+        nn[i, 0] = halo
+        nn[i, 1] = halo + max(0, min(n - g0, shard))
+    rows32 = rows.view(np.int32)
+    lo, hi, sm, em = eng._args()
+
+    def run_for_cap(cap: int):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P("d", None), P("d", None)),
+            out_specs=(P("d"), P("d", None), P("d", None)),
+            check_vma=False,
+        )
+        def run(lo, hi, sm, em, rows32, nn):
+            halo_a, body = _to_stream_major(rows32[0], L, tiles, halo)
+            kernel = F._make_fp_kernel(t.k, L, Lc, halo)
+            cnt, bmp = F._fp_pallas(
+                kernel, (lo, hi, sm, em, nn[0]), halo_a, body,
+                t.k, L, Lc, tiles, halo // 4,
+            )
+            nc, e_pos, live = F._rank_select(bmp, L, cap)
+            return nc[None], e_pos[None], live[None]
+
+        return jax.jit(run)(
+            lo, hi, sm, em,
+            jax.device_put(rows32, NamedSharding(mesh, P("d", None))),
+            jax.device_put(nn, NamedSharding(mesh, P("d", None))),
+        )
+
+    cap = 4096
+    while True:
+        ncands, e_poss, lives = run_for_cap(cap)
+        if int(np.sum(np.asarray(ncands))) > eng._hostile_limit(n):
+            eng.hostile = True
+            return None
+        worst = int(np.max(np.asarray(ncands)))
+        if worst <= cap:
+            break
+        cap = max(64, _pow2(worst))
+    # Per-shard candidate positions -> absolute coordinates.
+    e_poss = np.asarray(e_poss).astype(np.int64)
+    lives = np.asarray(lives)
+    cands = [
+        e_poss[i][lives[i]] + i * shard - halo for i in range(ndev)
+    ]
+    cand = np.concatenate(cands) if cands else np.zeros(0, np.int64)
+    if not len(cand):
+        z = np.zeros(0, np.int64)
+        return z, z
+    a = np.frombuffer(haystack, np.uint8)
+    if eng.ci:
+        a = F._fold_arr(a)
+    return eng.verif.verify(a, cand)
+
+
 class ShardedSearcher:
     """A facade adapter that computes match sets across a device mesh.
 
@@ -366,12 +456,17 @@ class ShardedSearcher:
         self.ac = ac
         self.mesh = mesh if mesh is not None else make_mesh()
         self._eng = ac._bitap_engine()
+        self._fp_eng = None
         if self._eng is None:
-            raise MatchError(
-                "unsupported-stream",
-                "sharded stream search requires a pattern set within the"
-                " bit-parallel engine's bounds",
-            )
+            # Pattern sets beyond the exact engine's bounds shard via
+            # the fingerprint filter (verification host-side).
+            self._fp_eng = ac._fingerprint_engine(1 << 62)
+            if self._fp_eng is None:
+                raise MatchError(
+                    "unsupported-stream",
+                    "sharded stream search requires a pattern set within"
+                    " the bit-parallel or fingerprint engine's bounds",
+                )
 
     # Introspection delegation (what stream.py consults).
     def match_kind(self):
@@ -393,7 +488,15 @@ class ShardedSearcher:
         from .. import semantics
 
         hs = input.haystack[input.start:input.end]
-        pids, ends = sharded_bitap_match_pairs(self._eng, hs, self.mesh)
+        if self._eng is not None:
+            pids, ends = sharded_bitap_match_pairs(
+                self._eng, hs, self.mesh
+            )
+        else:
+            got = sharded_fp_match_pairs(self._fp_eng, hs, self.mesh)
+            if got is None:  # filter-hostile: single-chip fallback
+                return self.ac._match_set(input)
+            pids, ends = got
         starts = ends - self.ac._dfa.pattern_lens[pids].astype(np.int64)
         return semantics.MatchSet(pids, starts, ends, input.start)
 
@@ -401,6 +504,8 @@ class ShardedSearcher:
         from ..utils.search import to_input
 
         input = to_input(input)
+        if self._eng is None:
+            return len(self._match_set(input).pids)
         hs = input.haystack[input.start:input.end]
         return sharded_bitap_count(self._eng, hs, self.mesh)
 

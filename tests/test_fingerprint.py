@@ -55,12 +55,15 @@ def _oracle_pairs(pats, hs, ci=False):
 
 @pytest.mark.parametrize("count,ci", [(150, False), (400, True)])
 @pytest.mark.parametrize("device_verify", [True, False])
-def test_match_pairs_vs_oracle(count, ci, device_verify):
+def test_match_pairs_vs_oracle(count, ci, device_verify, monkeypatch):
+    from ahocorasick_tpu.ops import fingerprint as F
+
     rng = np.random.default_rng(count)
     pats = _dictionary(rng, count)
     hs = _text_with_matches(rng, 1 << 15, pats)
     eng = FingerprintEngine(pats, ci)
     if device_verify:
+        monkeypatch.setattr(F, "FP_DV_MIN", 0)
         assert eng.dv is not None  # letters-only set must support it
     else:
         eng.dv = None  # force the host verification path

@@ -12,6 +12,20 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.fixture(autouse=True)
+def _disable_fingerprint(monkeypatch):
+    """These tests exercise the native C++ walk; the fingerprint engine
+    would otherwise intercept these (candidate-dense) pattern sets,
+    escalate through its plan ladder (minutes of interpret-mode kernel
+    compiles on CPU), and only then fall back to the native walk."""
+    from ahocorasick_tpu.ops import fingerprint
+
+    monkeypatch.setattr(
+        fingerprint.FingerprintEngine, "eligible",
+        classmethod(lambda cls, *a, **k: False),
+    )
+
+
 def big_pattern_set(seed=0, n=700):
     rng = np.random.default_rng(seed)
     return [

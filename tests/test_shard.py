@@ -198,3 +198,67 @@ def test_sharded_stream_replace_cross_chunk_and_shard():
         chunk_size=1024,
     )
     assert out.getvalue() == want
+
+
+def test_sharded_fingerprint_match_pairs():
+    """Pattern sets beyond the exact engine's bounds shard through the
+    fingerprint filter with host verification."""
+    import numpy as np
+
+    from ahocorasick_tpu.parallel.shard import sharded_fp_match_pairs
+    from ahocorasick_tpu.ops.fingerprint import FingerprintEngine
+
+    rng = np.random.default_rng(41)
+    pats = sorted({
+        rng.choice(list(b"abcdefgh"), int(rng.integers(4, 12)))
+        .astype(np.uint8).tobytes()
+        for _ in range(300)
+    })
+    assert sum(len(p) for p in pats) > 2048  # beyond bitap bounds
+    h = rng.choice(list(b"abcdefghijk"), 20000).astype(np.uint8).tobytes()
+    # Plant matches, including across shard boundaries for 8 shards.
+    hb = bytearray(h)
+    shard = -(-len(hb) // 8)
+    for i in range(1, 8):
+        p = pats[i * 17 % len(pats)]
+        pos = i * shard - len(p) // 2
+        hb[pos:pos + len(p)] = p
+    h = bytes(hb)
+    eng = FingerprintEngine(pats, False)
+    got = sharded_fp_match_pairs(eng, h, make_mesh(8))
+    assert got is not None
+    pids, ends = got
+    ac = AhoCorasick(pats)
+    want = _oracle_pairs(ac, h)
+    assert list(zip(pids.tolist(), ends.tolist())) == want
+    assert len(want) >= 7
+
+
+def test_sharded_searcher_fingerprint_stream_replace():
+    import io
+    import numpy as np
+
+    from ahocorasick_tpu.parallel.shard import sharded_stream_replace_all
+
+    rng = np.random.default_rng(43)
+    pats = sorted({
+        rng.choice(list(b"mnopqrst"), int(rng.integers(4, 10)))
+        .astype(np.uint8).tobytes()
+        for _ in range(300)
+    })
+    body = rng.choice(list(b"mnopqrstuvwx"), 30000).astype(
+        np.uint8).tobytes()
+    bb = bytearray(body)
+    for p in range(500, len(bb) - 12, 1500):
+        pat = pats[p % len(pats)]
+        bb[p:p + len(pat)] = pat
+    body = bytes(bb)
+    ac = AhoCorasick(pats)
+    reps = [b"<%d>" % i for i in range(len(pats))]
+    want = ac.try_replace_all_bytes(body, reps)
+    out = io.BytesIO()
+    sharded_stream_replace_all(
+        ac, io.BytesIO(body), out, reps, mesh=make_mesh(8),
+        chunk_size=2048,
+    )
+    assert out.getvalue() == want
