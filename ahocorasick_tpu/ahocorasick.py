@@ -221,7 +221,8 @@ class AhoCorasick:
     def _bitap_engine(self) -> Optional[BitapEngine]:
         """The gather-free bit-parallel device engine (ops/bitap.py), or
         None when the pattern set is out of its bounds (empty patterns,
-        > 512 total pattern bytes) or the mode forces the DFA scan."""
+        > 2048 total pattern bytes — 64 limbs after chain bin-packing)
+        or the mode forces the DFA scan / fingerprint engine."""
         if self._engine_mode in ("dfa-scan", "fingerprint"):
             return None
         if not self._bitap_checked:
@@ -465,10 +466,19 @@ class AhoCorasick:
         original input — resuming on a *different* input then behaves
         exactly like the reference's carried automaton state
         (automaton.rs:781-827)."""
-        matches, idx, old_input = state._dev
+        matches, idx, old_input, drained = state._dev
         state._dev = None
         replay = oracle.OverlappingState()
         for _ in range(idx):
+            oracle.try_find_overlapping_fwd(
+                self._match_nfa, old_input, replay
+            )
+        if drained:
+            # The device path already served a None: the devolved state
+            # must reflect the *exhausted* scan of old_input (at = end),
+            # not the position of the last match — one extra oracle call
+            # walks the remaining tail exactly as the reference's carried
+            # state would (automaton.rs:1442-1537).
             oracle.try_find_overlapping_fwd(
                 self._match_nfa, old_input, replay
             )
@@ -506,13 +516,16 @@ class AhoCorasick:
             return
         if state._dev is None:
             ms = self._match_set(input)
-            state._dev = [list(semantics.overlapping_iter(ms)), 0, input]
-        matches, idx, _ = state._dev
+            state._dev = [
+                list(semantics.overlapping_iter(ms)), 0, input, False,
+            ]
+        matches, idx, _, _ = state._dev
         if idx < len(matches):
             state.mat = matches[idx]
             state._dev[1] = idx + 1
         else:
             state.mat = None
+            state._dev[3] = True  # drained: a None was served
 
     def find_overlapping(
         self, input, state: oracle.OverlappingState

@@ -47,7 +47,8 @@ def main(argv=None) -> int:
                     help="cap the number of states printed by --debug")
     ap.add_argument(
         "--engine",
-        choices=["auto", "oracle", "device-only", "bitap", "dfa-scan"],
+        choices=["auto", "oracle", "device-only", "bitap", "fingerprint",
+                 "dfa-scan"],
         default="auto",
     )
     ap.add_argument("--count-only", action="store_true",

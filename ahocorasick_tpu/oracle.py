@@ -92,7 +92,7 @@ class OverlappingState:
         self.id: Optional[int] = None
         self.at = 0
         self.next_match_index: Optional[int] = None
-        self._dev = None  # [matches, next_idx, Input] when device-backed
+        self._dev = None  # [matches, next_idx, Input, drained] device-backed
 
     @classmethod
     def start(cls) -> "OverlappingState":

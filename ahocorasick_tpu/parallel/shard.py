@@ -267,6 +267,7 @@ def sharded_bitap_match_pairs(
     """
     from ..ops.bitap import (
         LANES,
+        MAX_EXTRACT_CHUNK,
         _bitap_call,
         _pow2,
         _to_stream_major,
@@ -279,6 +280,27 @@ def sharded_bitap_match_pairs(
     n = len(haystack)
     if n == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    # Bound each shard's extraction words output (tiles*L*K*LANES int32,
+    # ~4*K bytes per haystack byte) exactly as the single-chip
+    # BitapEngine.match_pairs does: slab the haystack so each device's
+    # shard stays within MAX_EXTRACT_CHUNK, with a max_pattern_len-1
+    # overlap between slabs; matches are deduped by end ownership.
+    max_total = MAX_EXTRACT_CHUNK * ndev
+    if n > max_total:
+        ov = eng.tables.max_pattern_len - 1
+        all_pids, all_ends = [], []
+        base = 0
+        while base < n:
+            hi_ = min(base + max_total, n)
+            lo_ = max(0, base - ov)
+            pids, ends = sharded_bitap_match_pairs(
+                eng, haystack[lo_:hi_], mesh
+            )
+            keep = ends > (base - lo_)
+            all_pids.append(pids[keep])
+            all_ends.append(ends[keep] + lo_)
+            base = hi_
+        return np.concatenate(all_pids), np.concatenate(all_ends)
     t = eng.tables
     halo = eng.halo
     shard = _round_up(-(-n // ndev), 4)

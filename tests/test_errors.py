@@ -248,3 +248,39 @@ def test_overlapping_resumable_device_backed():
         wrest.append(m.astuple())
     assert got_partial == wo_partial
     assert rest == wrest
+
+
+def test_overlapping_drained_then_input_switch():
+    """Regression: after the device-backed state is fully drained (a None
+    was served), resuming on a different input must behave like the
+    reference's exhausted carried state — not replay stale matches from
+    the old input's match list."""
+    from ahocorasick_tpu import OverlappingState
+
+    pats = ["foo", "oo"]
+    hay1 = b"xxfoo xx"          # matches on the device path
+    # hay2 places a match AFTER hay1's last match position: a stale
+    # devolved state (at = last match instead of end-of-scan) would
+    # rescan hay2's tail and report it; the exhausted oracle does not.
+    hay2 = b"zzzzzfoo"
+    ac = AhoCorasick(pats, device_threshold=4)
+    aco = AhoCorasick(pats, engine="oracle")
+
+    def run(a):
+        st = OverlappingState()
+        seq = []
+        # Drain input 1 fully, INCLUDING the terminating None.
+        for _ in range(16):
+            a.try_find_overlapping(Input(hay1), st)
+            m = st.get_match()
+            seq.append(None if m is None else m.astuple())
+            if m is None:
+                break
+        # Resume on a different input with the same (exhausted) state.
+        for _ in range(4):
+            a.try_find_overlapping(Input(hay2), st)
+            m = st.get_match()
+            seq.append(None if m is None else m.astuple())
+        return seq
+
+    assert run(ac) == run(aco)

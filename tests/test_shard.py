@@ -242,10 +242,13 @@ def test_sharded_searcher_fingerprint_stream_replace():
 
     rng = np.random.default_rng(43)
     pats = sorted({
-        rng.choice(list(b"mnopqrst"), int(rng.integers(4, 10)))
+        rng.choice(list(b"mnopqrst"), int(rng.integers(5, 12)))
         .astype(np.uint8).tobytes()
-        for _ in range(300)
+        for _ in range(340)
     })
+    # Beyond bitap bounds so the sharded searcher (and any single-chip
+    # fallback) actually exercises the fingerprint path this test names.
+    assert sum(len(p) for p in pats) > 2048
     body = rng.choice(list(b"mnopqrstuvwx"), 30000).astype(
         np.uint8).tobytes()
     bb = bytearray(body)
@@ -255,10 +258,43 @@ def test_sharded_searcher_fingerprint_stream_replace():
     body = bytes(bb)
     ac = AhoCorasick(pats)
     reps = [b"<%d>" % i for i in range(len(pats))]
-    want = ac.try_replace_all_bytes(body, reps)
+    # Expected output from the host oracle walk (cheap and
+    # engine-independent; the device path is what's under test).
+    want = AhoCorasick(pats, engine="oracle").try_replace_all_bytes(
+        body, reps
+    )
     out = io.BytesIO()
     sharded_stream_replace_all(
         ac, io.BytesIO(body), out, reps, mesh=make_mesh(8),
         chunk_size=2048,
     )
     assert out.getvalue() == want
+
+
+def test_sharded_match_pairs_slabbed(monkeypatch):
+    """Extraction larger than ndev * MAX_EXTRACT_CHUNK must slab the
+    haystack (bounding each shard's device words output) and still
+    produce the exact match set, including matches straddling slab
+    boundaries."""
+    from ahocorasick_tpu.ops import bitap as B
+    from ahocorasick_tpu.parallel.shard import sharded_bitap_match_pairs
+
+    monkeypatch.setattr(B, "MAX_EXTRACT_CHUNK", 1 << 10)
+    random.seed(13)
+    pats = ["ab", "babc", "abcabc"]
+    n = 40000  # >> 8 devices * 1 KiB slab bound
+    h = bytearray(
+        "".join(random.choice("abcx") for _ in range(n)).encode()
+    )
+    # Straddle the first few slab boundaries explicitly.
+    slab = (1 << 10) * 8
+    for i in range(1, 4):
+        p = i * slab - 3
+        h[p:p + 6] = b"abcabc"
+    h = bytes(h)
+    ac = AhoCorasick(pats)
+    pids, ends = sharded_bitap_match_pairs(
+        ac._bitap_engine(), h, make_mesh(8)
+    )
+    want = _oracle_pairs(ac, h)
+    assert list(zip(pids.tolist(), ends.tolist())) == want
