@@ -28,6 +28,7 @@ Quick start::
         print(m.pattern, m.start, m.end)
 """
 
+from . import transducer
 from .ahocorasick import AhoCorasick, AhoCorasickBuilder, AhoCorasickKind
 from .oracle import OverlappingState
 from .utils.errors import BuildError, MatchError
@@ -55,5 +56,6 @@ __all__ = [
     "OverlappingState",
     "Span",
     "StartKind",
+    "transducer",
     "__version__",
 ]
