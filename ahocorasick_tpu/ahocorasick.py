@@ -402,6 +402,19 @@ class AhoCorasick:
                 self._dfa, states, input.start
             )
         # Device path: only compacted (end, state) pairs cross the link.
+        if len(hs) >= (1 << 16) and not getattr(self, "_scan_warned", False):
+            # The blocked DFA scan is a correctness backend (~0.03 GB/s
+            # on TPU, see ops/block_scan.py); reaching it on a large
+            # haystack means a forced engine knob routed production
+            # traffic here. Warn (once per searcher) through the logging
+            # facility the way the reference traces backend selection.
+            self._scan_warned = True
+            log.logger.warning(
+                "blocked device DFA scan engaged for a %d-byte haystack; "
+                "this is a correctness backend (~0.03 GB/s) — prefer "
+                "engine='auto' (bitap/fingerprint/native selection)",
+                len(hs),
+            )
         ends, sids = self._device_automaton().match_positions(hs)
         return semantics.extract_match_set_from_positions(
             self._dfa, ends, sids, input.start

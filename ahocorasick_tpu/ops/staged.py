@@ -258,11 +258,15 @@ def _staged_jit(fp_key, full_key, Kf: int, K: int, L: int, Lc: int,
             interpret=_interpret(),
         )(halo, body)
         # [tiles, R, 128] C-order flatten IS stream order:
-        # stream s = (tile*R + row)*128 + col.
+        # stream s = (tile*R + row)*128 + col. Candidate compaction via
+        # succinct rank/select (ops/compaction.py) — jnp.nonzero lowers
+        # to ~10 ns/element scanned on TPU (1.3 ms for these ns streams,
+        # measured), which alone halved the staged path's throughput.
+        from .compaction import select_nonzero_words
+
         fl = flags[0].reshape(ns)
-        is_cand = fl != 0
-        ncand = jnp.sum(is_cand.astype(jnp.int32))
-        (cand,) = jnp.nonzero(is_cand, size=cap, fill_value=-1)
+        ncand, widx, _, live = select_nonzero_words(fl, cap)
+        cand = jnp.where(live, widx, -1)
         safe = jnp.maximum(cand, 0)
         grows = jnp.take(rows, safe, axis=0)
         ghalo = jnp.take(hrows, safe, axis=0)
