@@ -110,15 +110,24 @@ class Searcher:
         self._rk = RabinKarp(patterns, ids)
         self._min_len = min(len(p) for p in patterns)
         # Default engine: the exact bit-parallel kernel (ops/bitap.py)
-        # covers the packed regime (<=128 patterns) directly on TPU; the
-        # Teddy and Rabin-Karp engines remain as forceable backends
-        # (packed/api.rs:137-188 test-only knobs).
+        # covers the packed regime (<=128 patterns) directly on TPU; sets
+        # beyond its 2048-byte bound ride the bucketed fingerprint engine
+        # (ops/fingerprint.py — the production Teddy analog, device
+        # verification included). The MXU Teddy and Rabin-Karp engines
+        # remain as forceable backends (packed/api.rs:137-188 test-only
+        # knobs).
         self._bitap = None
+        self._fp = None
         if self._force is None:
             from ..ops.bitap import BitapEngine
 
             if BitapEngine.eligible(list(patterns)):
                 self._bitap = BitapEngine(list(patterns), False)
+            else:
+                from ..ops.fingerprint import FingerprintEngine
+
+                if FingerprintEngine.eligible(list(patterns)):
+                    self._fp = FingerprintEngine(list(patterns), False)
         self._lens = np.array([len(p) for p in patterns], np.int64)
 
     def _match_set(self, h: bytes):
@@ -126,6 +135,12 @@ class Searcher:
         if self._bitap is not None:
             pids, ends = self._bitap.match_pairs(h)
             return pids, ends - self._lens[pids], ends
+        if self._fp is not None:
+            got = self._fp.match_pairs(h)
+            if got is not None:
+                pids, ends = got
+                return pids, ends - self._lens[pids], ends
+            # Filter-hostile input: fall through to the MXU Teddy path.
         return self._teddy.find_matches(h)
 
     @classmethod

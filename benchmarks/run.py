@@ -135,6 +135,21 @@ def suite_same():
          gbps=round(gbps, 2), ref_dfa_us_per_10kb=118.69)
 
 
+def suite_dict1k():
+    """Case-insensitive 1K-pattern dictionary on the fingerprint engine
+    (BASELINE.json config #3); the reference runs this class on its bare
+    automaton at ~0.3-0.9 GB/s (no prefilter past 64 patterns)."""
+    from bench import bench_dict1k
+
+    import jax
+    import jax.numpy as jnp
+
+    gbps = bench_dict1k(jax, jnp)
+    emit(suite="dict1k", engine="fingerprint", patterns=1000,
+         case_insensitive=True, bytes=1 << 26, gbps=round(gbps, 2),
+         ref_bare_automaton_gbps=0.86)
+
+
 def suite_build():
     from ahocorasick_tpu.automata.noncontiguous import compile_nfa
 
@@ -183,6 +198,7 @@ SUITES = {
     "sherlock": suite_sherlock,
     "patsweep": suite_patsweep,
     "same": suite_same,
+    "dict1k": suite_dict1k,
     "build": suite_build,
     "memory": suite_memory,
 }

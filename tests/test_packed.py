@@ -102,3 +102,30 @@ def test_packed_find_in_span():
     h = "a teddy bear"
     m = s.find_in(h, Span(3, len(h)))
     assert m is not None and m.astuple() == (1, 8, 12)
+
+
+def test_packed_large_set_rides_fingerprint_engine():
+    """128 long patterns exceed the exact kernel's 2048-byte bound: the
+    packed default engine must ride the bucketed fingerprint filter and
+    still agree with the core leftmost-first searcher."""
+    import random
+
+    random.seed(17)
+    pats = sorted({
+        "".join(random.choice("abcdefgh") for _ in range(
+            random.randint(17, 24)
+        ))
+        for _ in range(120)
+    })[:120]
+    assert sum(len(p) for p in pats) > 2048
+    s = Searcher.new(pats)
+    assert s._bitap is None and s._fp is not None
+    planted = "".join(
+        random.choice("abcdefghij") for _ in range(4000)
+    )
+    h = planted[:500] + pats[3] + planted[500:900] + pats[77] + planted[900:]
+    core = AhoCorasick(pats, match_kind=CoreKind.LEFTMOST_FIRST)
+    got = [m.astuple() for m in s.find_iter(h)]
+    want = [m.astuple() for m in core.find_iter(h)]
+    assert got == want
+    assert len(got) >= 2
