@@ -2,9 +2,24 @@
 
 jnp.nonzero lowers catastrophically on TPU (~10 ns/element scanned —
 18.9 ms for a 2M-word array); these helpers replace it with per-block
-sums + one cumsum + a vectorized binary search per selected rank + short
-unrolled in-block scans (~2 ms for the same array, and the cost scales
-with selected count, not scan size, past the cumsum).
+sums + one cumsum + a two-level rank search + a cumsum-based in-block
+select.
+
+The first implementation used a per-rank binary search (log2(nb) gather
+rounds over the block cumsums) and a 128-iteration unrolled scan inside
+each block; stage profiling on the dict1k pipeline (experiments/
+fp_profile.py) measured that at 11.8 ms for a 2M-word bitmap at
+cap=65536 — the selected-rank machinery, not the bitmap pass, was the
+cost. This version replaces both:
+
+  - the binary search becomes a TWO-LEVEL search: one broadcast compare
+    against the ~sqrt(nb) superblock cumsums picks the superblock, one
+    row gather + broadcast compare picks the block within it — two
+    [cap, 128] compares and one [cap, 128] row gather instead of
+    log2(nb) dependent element-gather rounds;
+  - the in-block word select becomes one row cumsum + one broadcast
+    compare + one take_along_axis instead of a BLOCK-step unrolled loop
+    (which re-read the gathered [cap, BLOCK] rows once per step).
 
 Both helpers require the scanned array length to be a multiple of
 BLOCK (the engine layouts guarantee it).
@@ -18,36 +33,57 @@ from jax import lax
 BLOCK = 128  # words per rank-select block
 
 
-def _search_blocks(bcum, q):
-    """Smallest block index b with bcum[b] >= q, vectorized binary
-    search (log2(nb) gather rounds)."""
+def _two_level_search(bcum, q):
+    """Smallest block index b with bcum[b] >= q (bcum is the inclusive
+    per-block cumsum), vectorized: superblock pick by broadcast compare,
+    block pick by one row gather + broadcast compare."""
     nb = bcum.shape[0]
-    lo = jnp.zeros(q.shape[0], jnp.int32)
-    hi = jnp.full(q.shape[0], nb - 1, jnp.int32)
-    for _ in range(max(nb - 1, 1).bit_length()):
-        mid = (lo + hi) >> 1
-        go_hi = jnp.take(bcum, mid) < q
-        lo = jnp.where(go_hi, mid + 1, lo)
-        hi = jnp.where(go_hi, hi, mid)
-    return lo
+    s2 = min(BLOCK, nb)
+    s1 = -(-nb // s2)
+    pad = s1 * s2 - nb
+    if pad:
+        bcum = jnp.concatenate(
+            [bcum, jnp.broadcast_to(bcum[-1], (pad,))]
+        )
+    b2 = bcum.reshape(s1, s2)
+    sup = b2[:, -1]  # cumsum at each superblock's end
+    s_idx = jnp.sum((sup[None, :] < q[:, None]).astype(jnp.int32), axis=1)
+    s_idx = jnp.minimum(s_idx, s1 - 1)
+    inner = jnp.take(b2, s_idx, axis=0)  # [cap, s2]
+    b_in = jnp.sum((inner < q[:, None]).astype(jnp.int32), axis=1)
+    b_in = jnp.minimum(b_in, s2 - 1)
+    return jnp.minimum(s_idx * s2 + b_in, nb - 1)
 
 
 def _select_in_block(rows, remaining):
-    """Index of the word inside each block holding the remaining-th
-    unit, plus the residual rank within that word. `rows` holds
-    per-word unit counts [n, BLOCK]."""
-    n = rows.shape[0]
-    wsel = jnp.zeros(n, jnp.int32)
-    resid = remaining
-    chosen = jnp.zeros(n, bool)
-    for w in range(BLOCK):
-        c_w = rows[:, w]
-        now = (~chosen) & (remaining < c_w)
-        wsel = jnp.where(now, w, wsel)
-        resid = jnp.where(now, remaining, resid)
-        chosen = chosen | now
-        remaining = jnp.where(chosen, remaining, remaining - c_w)
-    return wsel, resid
+    """Index of the word inside each block holding the (0-based)
+    remaining-th unit, plus the residual rank within that word. `rows`
+    holds per-word unit counts [n, BLOCK]."""
+    rcs = jnp.cumsum(rows, axis=1)
+    wsel = jnp.sum((rcs <= remaining[:, None]).astype(jnp.int32), axis=1)
+    wsel = jnp.minimum(wsel, rows.shape[1] - 1)
+    prevw = jnp.take_along_axis(
+        rcs, jnp.maximum(wsel - 1, 0)[:, None], axis=1
+    )[:, 0]
+    prevw = jnp.where(wsel > 0, prevw, 0)
+    return wsel, remaining - prevw
+
+
+def _select_units(counts, flat_len_blocks, cap: int):
+    """Shared rank/select over per-word unit counts [nb, BLOCK].
+
+    Returns (total, widx[cap], live[cap], resid[cap]) — the word index
+    holding each selected unit and the unit's 0-based rank within it.
+    """
+    bcum = jnp.cumsum(jnp.sum(counts, axis=1))
+    total = bcum[-1]
+    q = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    blk = _two_level_search(bcum, q)
+    prev = jnp.where(blk > 0, jnp.take(bcum, jnp.maximum(blk - 1, 0)), 0)
+    rows = jnp.take(counts, blk, axis=0)
+    wsel, resid = _select_in_block(rows, q - prev - 1)
+    widx = blk * BLOCK + wsel
+    return total, widx, q <= total, resid
 
 
 def select_nonzero_words(flat, cap: int):
@@ -55,16 +91,9 @@ def select_nonzero_words(flat, cap: int):
     nonzero words of `flat` in index order."""
     nz = (flat != 0).astype(jnp.int32)
     counts = nz.reshape(-1, BLOCK)
-    bcum = jnp.cumsum(jnp.sum(counts, axis=1))
-    total = bcum[-1]
-    q = jnp.arange(1, cap + 1, dtype=jnp.int32)
-    blk = _search_blocks(bcum, q)
-    prev = jnp.where(blk > 0, jnp.take(bcum, jnp.maximum(blk - 1, 0)), 0)
-    rows = jnp.take(counts, blk, axis=0)
-    wsel, _ = _select_in_block(rows, q - prev - 1)
-    widx = blk * BLOCK + wsel
+    total, widx, live, _ = _select_units(counts, counts.shape[0], cap)
     vals = jnp.take(flat, widx)
-    return total, widx, vals, q <= total
+    return total, widx, vals, live
 
 
 def select_set_bits(flat, cap: int):
@@ -73,14 +102,7 @@ def select_set_bits(flat, cap: int):
     order."""
     cnt = lax.population_count(flat)
     counts = cnt.reshape(-1, BLOCK)
-    bcum = jnp.cumsum(jnp.sum(counts, axis=1))
-    total = bcum[-1]
-    q = jnp.arange(1, cap + 1, dtype=jnp.int32)
-    blk = _search_blocks(bcum, q)
-    prev = jnp.where(blk > 0, jnp.take(bcum, jnp.maximum(blk - 1, 0)), 0)
-    rows = jnp.take(counts, blk, axis=0)
-    wsel, resid = _select_in_block(rows, q - prev - 1)
-    widx = blk * BLOCK + wsel
+    total, widx, live, resid = _select_units(counts, counts.shape[0], cap)
     word = jnp.take(flat, widx)
     bitpos = jnp.zeros(cap, jnp.int32)
     rcnt = resid
@@ -89,4 +111,4 @@ def select_set_bits(flat, cap: int):
         takeit = (is_set == 1) & (rcnt == 0)
         bitpos = jnp.where(takeit, b, bitpos)
         rcnt = rcnt - is_set
-    return total, widx, bitpos, q <= total
+    return total, widx, bitpos, live
