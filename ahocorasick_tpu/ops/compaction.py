@@ -55,13 +55,13 @@ def _two_level_search(bcum, q):
     return jnp.minimum(s_idx * s2 + b_in, nb - 1)
 
 
-def _select_in_block(rows, remaining):
+def _select_in_block(rcs, remaining):
     """Index of the word inside each block holding the (0-based)
-    remaining-th unit, plus the residual rank within that word. `rows`
-    holds per-word unit counts [n, BLOCK]."""
-    rcs = jnp.cumsum(rows, axis=1)
+    remaining-th unit, plus the residual rank within that word. `rcs`
+    holds per-block inclusive word-count cumsums [n, BLOCK] (computed
+    once over all blocks, not per selected rank)."""
     wsel = jnp.sum((rcs <= remaining[:, None]).astype(jnp.int32), axis=1)
-    wsel = jnp.minimum(wsel, rows.shape[1] - 1)
+    wsel = jnp.minimum(wsel, rcs.shape[1] - 1)
     prevw = jnp.take_along_axis(
         rcs, jnp.maximum(wsel - 1, 0)[:, None], axis=1
     )[:, 0]
@@ -75,12 +75,16 @@ def _select_units(counts, flat_len_blocks, cap: int):
     Returns (total, widx[cap], live[cap], resid[cap]) — the word index
     holding each selected unit and the unit's 0-based rank within it.
     """
-    bcum = jnp.cumsum(jnp.sum(counts, axis=1))
+    # One in-block cumsum over ALL blocks ([nb, BLOCK], a single vector
+    # pass) so the per-rank path gathers ready-made cumsum rows instead
+    # of cumsumming its [cap, BLOCK] gather.
+    rcs_all = jnp.cumsum(counts, axis=1)
+    bcum = jnp.cumsum(rcs_all[:, -1])
     total = bcum[-1]
     q = jnp.arange(1, cap + 1, dtype=jnp.int32)
     blk = _two_level_search(bcum, q)
     prev = jnp.where(blk > 0, jnp.take(bcum, jnp.maximum(blk - 1, 0)), 0)
-    rows = jnp.take(counts, blk, axis=0)
+    rows = jnp.take(rcs_all, blk, axis=0)
     wsel, resid = _select_in_block(rows, q - prev - 1)
     widx = blk * BLOCK + wsel
     return total, widx, q <= total, resid

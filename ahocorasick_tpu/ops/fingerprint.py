@@ -952,7 +952,15 @@ class VerifyIndex:
 # ---------------------------------------------------------------------------
 # Engine
 # ---------------------------------------------------------------------------
-VROW = 32  # verify-buffer row width (window row-gather granularity)
+def _vrow(W: int) -> int:
+    """Verify-buffer row granularity (window row-gather stride).
+
+    The smallest power of two whose strided layout still covers a
+    W-byte window with k <= 2 overlapped row copies: 16 halves both the
+    gathered strip width and the shift-mux depth vs 32 for the common
+    short-pattern dictionaries (W <= 17), at identical HBM cost (k = 2
+    either way)."""
+    return 16 if W <= 17 else 32
 
 
 @functools.partial(jax.jit, static_argnames=("W", "fold"))
@@ -960,24 +968,25 @@ def _unpack_fold(x32, W: int, fold: bool):
     """Unpack the int32-packed haystack into the strided verify buffer.
 
     Layout: FP_LEN zero lead + (optionally case-folded) bytes + guard
-    tail, as OVERLAPPING rows of width ceil((VROW-1+W)/VROW)*VROW at
-    stride VROW — any W-byte window lies entirely inside the single row
-    b0 // VROW, so window extraction is ONE row gather (TPU element
+    tail, as OVERLAPPING rows of width ceil((V-1+W)/V)*V at stride
+    V = _vrow(W) — any W-byte window lies entirely inside the single
+    row b0 // V, so window extraction is ONE row gather (TPU element
     gathers measured ~400x slower than row gathers). Costs k x haystack
-    bytes of HBM (k = row width / VROW, typically 2)."""
+    bytes of HBM (k = row width / V, typically 2)."""
+    V = _vrow(W)
     b = (
         (x32[:, None] >> jnp.array([0, 8, 16, 24], jnp.int32)) & 255
     ).astype(jnp.uint8).reshape(-1)
     if fold:
         b = jnp.where((b >= 65) & (b <= 90), b | 32, b)
     total = b.shape[0]
-    k = -(-(VROW - 1 + W) // VROW)
-    nbase = -(-(FP_LEN + total + W) // VROW) + k
+    k = -(-(V - 1 + W) // V)
+    nbase = -(-(FP_LEN + total + W) // V) + k
     buf = jnp.concatenate([
         jnp.zeros(FP_LEN, jnp.uint8), b,
-        jnp.zeros(nbase * VROW - FP_LEN - total, jnp.uint8),
+        jnp.zeros(nbase * V - FP_LEN - total, jnp.uint8),
     ])
-    base = buf.reshape(-1, VROW)
+    base = buf.reshape(-1, V)
     nr = base.shape[0] - k + 1
     return jnp.concatenate(
         [base[t:nr + t] for t in range(k)], axis=1
@@ -986,15 +995,15 @@ def _unpack_fold(x32, W: int, fold: bool):
 
 def _gather_windows(u8f, e_pos, W: int):
     """W-byte windows anchored at e_pos - (FP_LEN - 1): one row gather
-    from the strided buffer + a 5-bit shift mux over the in-row
+    from the strided buffer + a log2(V)-bit shift mux over the in-row
     offset."""
+    V = _vrow(W)
     b0 = e_pos + 1  # buffer coordinates (FP_LEN lead pad, -(FP_LEN-1))
-    r = b0 // VROW
-    o = b0 % VROW
+    r = b0 // V
+    o = b0 % V
     strip = jnp.take(u8f, r, axis=0)
-    slices = [strip[:, s:s + W] for s in range(VROW)]
-    t = slices
-    for bit in range(5):
+    t = [strip[:, s:s + W] for s in range(V)]
+    for bit in range(V.bit_length() - 1):
         onb = ((o >> bit) & 1).astype(bool)[:, None]
         t = [jnp.where(onb, t[2 * m + 1], t[2 * m])
              for m in range(len(t) // 2)]
