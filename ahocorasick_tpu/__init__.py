@@ -8,10 +8,10 @@ A from-scratch re-design of the capabilities of the `aho-corasick` crate
     builder in native/).
   - The primary device engine is a gather-free bit-parallel shift-AND
     Pallas kernel — 1024 haystack streams per grid tile, charmask lookup
-    as pruned nybble select trees — measured 60+ GB/s/chip on the
-    reference's headline 5-pattern benchmark vs its 0.86 GB/s dense DFA
-    (ops/bitap.py). Pattern sets beyond its bounds use a lane-parallel
-    blocked DFA scan (ops/block_scan.py).
+    as pruned nybble select trees — driver-measured 52 GB/s/chip on the
+    reference's headline 5-pattern benchmark (BENCH_r03) vs its
+    0.86 GB/s dense DFA (ops/bitap.py). Larger pattern sets ride the
+    bucketed fingerprint engine (ops/fingerprint.py).
   - Standard / leftmost-first / leftmost-longest semantics, overlapping
     search, anchored search, ASCII case folding, replacement and stream
     search/replace all reproduce the reference's (pattern, start, end)

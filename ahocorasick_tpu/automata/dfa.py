@@ -8,10 +8,11 @@ a single table lookup `trans[state, byte_class]`.
 
 TPU-first differences from the reference:
   - No premultiplied state IDs (the device engine computes the flat gather
-    index itself) and no interleaved anchored copy; anchored semantics are
-    handled by match filtering (see ops/ and semantics.py), so only the
-    unanchored table is materialized for the device. An anchored trie-only
-    table is available for the host oracle and debugging.
+    index itself) and no interleaved anchored copy (dfa.rs:441-460 doubles
+    the table for StartKind::Both); anchored searches walk the NFA's trie
+    edges directly on the host (oracle.py) — they are bounded by
+    max_pattern_len transitions — so only the unanchored table is
+    materialized at all.
   - Per-match-state pattern lists are CSR arrays (match_starts/match_pids)
     instead of Vec<Vec<PatternID>> (dfa.rs:99), ready for device gathers.
 
@@ -37,7 +38,6 @@ class DenseDFA:
     """Flat dense transition tables + match metadata, host (numpy) side."""
 
     trans: np.ndarray          # [N, A] int32, unanchored (failures resolved)
-    trans_anchored: np.ndarray  # [N, A] int32, trie-only (missing -> DEAD)
     classes: np.ndarray        # [256] uint8
     alphabet_len: int
     num_states: int
@@ -51,7 +51,7 @@ class DenseDFA:
 
     def memory_usage(self) -> int:
         return (
-            self.trans.nbytes + self.trans_anchored.nbytes
+            self.trans.nbytes
             + self.classes.nbytes + self.match_starts.nbytes
             + self.match_pids.nbytes + self.pattern_lens.nbytes
         )
@@ -73,7 +73,6 @@ def build_dfa(nfa: NFA) -> DenseDFA:
     edge_next = nfa.trans_next
 
     trans = np.zeros((n, a), dtype=np.int32)  # DEAD-filled
-    trans_anchored = np.zeros((n, a), dtype=np.int32)
 
     depth = nfa.depth.copy()
     # Sentinels and the start states take part in level 0 so that every
@@ -104,9 +103,6 @@ def build_dfa(nfa: NFA) -> DenseDFA:
         lo, hi = level_bounds[d], level_bounds[d + 1]
         if hi > lo:
             trans[edge_state[lo:hi], edge_class[lo:hi]] = edge_next[lo:hi]
-            trans_anchored[edge_state[lo:hi], edge_class[lo:hi]] = (
-                edge_next[lo:hi]
-            )
 
     # The unanchored start row in the NFA already materializes the
     # self-loop (or its DEAD-closed variant), so the scatter above covered
@@ -115,7 +111,6 @@ def build_dfa(nfa: NFA) -> DenseDFA:
 
     return DenseDFA(
         trans=trans,
-        trans_anchored=trans_anchored,
         classes=nfa.classes,
         alphabet_len=a,
         num_states=n,

@@ -69,7 +69,7 @@ def _select_in_block(rcs, remaining):
     return wsel, remaining - prevw
 
 
-def _select_units(counts, flat_len_blocks, cap: int):
+def _select_units(counts, cap: int):
     """Shared rank/select over per-word unit counts [nb, BLOCK].
 
     Returns (total, widx[cap], live[cap], resid[cap]) — the word index
@@ -95,7 +95,7 @@ def select_nonzero_words(flat, cap: int):
     nonzero words of `flat` in index order."""
     nz = (flat != 0).astype(jnp.int32)
     counts = nz.reshape(-1, BLOCK)
-    total, widx, live, _ = _select_units(counts, counts.shape[0], cap)
+    total, widx, live, _ = _select_units(counts, cap)
     vals = jnp.take(flat, widx)
     return total, widx, vals, live
 
@@ -106,7 +106,7 @@ def select_set_bits(flat, cap: int):
     order."""
     cnt = lax.population_count(flat)
     counts = cnt.reshape(-1, BLOCK)
-    total, widx, live, resid = _select_units(counts, counts.shape[0], cap)
+    total, widx, live, resid = _select_units(counts, cap)
     word = jnp.take(flat, widx)
     bitpos = jnp.zeros(cap, jnp.int32)
     rcnt = resid

@@ -118,25 +118,37 @@ class Searcher:
         # knobs).
         self._bitap = None
         self._fp = None
+        # The fingerprint engine (bucket planning, cuckoo verify tables)
+        # is built lazily on first _match_set use: searchers that only
+        # ever see short haystacks route to Rabin-Karp and never pay for
+        # it (the reference builds Teddy eagerly but Teddy construction
+        # is just mask fills, api.rs:529-546).
+        self._fp_checked = False
         if self._force is None:
             from ..ops.bitap import BitapEngine
 
             if BitapEngine.eligible(list(patterns)):
                 self._bitap = BitapEngine(list(patterns), False)
-            else:
+        self._lens = np.array([len(p) for p in patterns], np.int64)
+
+    def _fp_engine(self):
+        if not self._fp_checked:
+            self._fp_checked = True
+            if self._force is None and self._bitap is None:
                 from ..ops.fingerprint import FingerprintEngine
 
-                if FingerprintEngine.eligible(list(patterns)):
-                    self._fp = FingerprintEngine(list(patterns), False)
-        self._lens = np.array([len(p) for p in patterns], np.int64)
+                if FingerprintEngine.eligible(self.patterns):
+                    self._fp = FingerprintEngine(self.patterns, False)
+        return self._fp
 
     def _match_set(self, h: bytes):
         """Full overlapping (pids, starts, ends) via the active engine."""
         if self._bitap is not None:
             pids, ends = self._bitap.match_pairs(h)
             return pids, ends - self._lens[pids], ends
-        if self._fp is not None:
-            got = self._fp.match_pairs(h)
+        fp = self._fp_engine()
+        if fp is not None:
+            got = fp.match_pairs(h)
             if got is not None:
                 pids, ends = got
                 return pids, ends - self._lens[pids], ends
@@ -160,10 +172,28 @@ class Searcher:
         return self._teddy.minimum_len if self._teddy else 0
 
     def memory_usage(self) -> int:
+        """Heap bytes of the tables of every constructed engine — the
+        analog of the reference's per-engine accounting (api.rs:633-638).
+        Covers whichever engines are actually active (bitap /
+        fingerprint / Teddy / Rabin-Karp)."""
         total = sum(len(p) for p in self.patterns)
         if self._teddy:
             total += self._teddy.tables.m_lo.nbytes * 2
             total += self._teddy._pmat.nbytes + self._teddy._pmask.nbytes
+        if self._bitap is not None:
+            t = self._bitap.tables
+            total += (t.lo.nbytes + t.hi.nbytes + t.start.nbytes
+                      + t.end.nbytes + t.endbit_pid.nbytes)
+        if self._fp is not None:
+            t = self._fp.tables
+            total += (t.lo.nbytes + t.hi.nbytes + t.start.nbytes
+                      + t.end.nbytes)
+            if self._fp.dv is not None:
+                for (_m, _a, _b, _logT, tk, _gmax, gr) in (
+                    self._fp.dv.classes.values()
+                ):
+                    total += tk.nbytes + gr.nbytes
+        total += self._rank_arr.nbytes + self._lens.nbytes
         return total
 
     def match_kind(self) -> MatchKind:

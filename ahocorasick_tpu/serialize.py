@@ -31,8 +31,7 @@ _NFA_SCALARS = (
     "start_loop_open",
 )
 _DFA_ARRAYS = (
-    "trans", "trans_anchored", "classes", "match_starts", "match_pids",
-    "pattern_lens",
+    "trans", "classes", "match_starts", "match_pids", "pattern_lens",
 )
 
 
@@ -135,7 +134,6 @@ def load(path: str):
     sc = z["dfa_scalars"]
     ac._dfa = DenseDFA(
         trans=z["dfa_trans"],
-        trans_anchored=z["dfa_trans_anchored"],
         classes=z["dfa_classes"],
         alphabet_len=int(sc[0]),
         num_states=int(sc[1]),
@@ -150,6 +148,11 @@ def load(path: str):
     ac._device = None
     ac._bitap = None
     ac._bitap_checked = False
+    ac._staged = None
+    ac._fp = None
+    ac._fp_checked = False
+    ac._cascade = None
+    ac._cascade_checked = False
     ac._pre = None
     ac._pre_checked = False
     ac._dense_depth = int(cfg[7])

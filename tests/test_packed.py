@@ -119,7 +119,9 @@ def test_packed_large_set_rides_fingerprint_engine():
     })[:120]
     assert sum(len(p) for p in pats) > 2048
     s = Searcher.new(pats)
-    assert s._bitap is None and s._fp is not None
+    # The fingerprint engine is constructed lazily on first use.
+    assert s._bitap is None and s._fp is None
+    assert s._fp_engine() is not None and s._fp is not None
     planted = "".join(
         random.choice("abcdefghij") for _ in range(4000)
     )
