@@ -64,6 +64,13 @@ class AhoCorasickKind(enum.Enum):
     DFA = "dfa"
 
 
+# Above this pattern count the hierarchical cascade engine
+# (ops/cascade.py) is preferred over per-bucket fingerprint chains in
+# auto mode: bucket selectivity degrades with set size while the
+# cascade's exact-membership probes do not.
+CASCADE_MIN_PATTERNS = 4096
+
+
 class AhoCorasick:
     """A multi-pattern searcher backed by TPU-resident automaton tables."""
 
@@ -124,6 +131,8 @@ class AhoCorasick:
         self._staged = None
         self._fp = None
         self._fp_checked = False
+        self._cascade = None
+        self._cascade_checked = False
         self._pre = None
         self._pre_checked = False
         self._dense_depth = builder._dense_depth
@@ -223,7 +232,7 @@ class AhoCorasick:
         None when the pattern set is out of its bounds (empty patterns,
         > 2048 total pattern bytes — 64 limbs after chain bin-packing)
         or the mode forces the DFA scan / fingerprint engine."""
-        if self._engine_mode in ("dfa-scan", "fingerprint"):
+        if self._engine_mode in ("dfa-scan", "fingerprint", "cascade"):
             return None
         if not self._bitap_checked:
             self._bitap_checked = True
@@ -291,6 +300,51 @@ class AhoCorasick:
         if self._fp is not None and self._fp.hostile and not forced:
             return None
         return self._fp
+
+    def _cascade_engine(self, n: int):
+        """Hierarchical cascade engine (ops/cascade.py) — the device
+        path for pattern sets beyond the fingerprint planner's bucket
+        budget (10k-100k+ patterns). None when ineligible, below the
+        device threshold, or previously found hostile."""
+        from .ops.cascade import CascadeEngine
+
+        forced = self._engine_mode == "cascade"
+        if self._engine_mode not in ("auto", "device-only", "cascade"):
+            return None
+        if not forced and n < self._device_threshold:
+            return None
+        if not self._cascade_checked:
+            self._cascade_checked = True
+            if CascadeEngine.eligible(
+                self._patterns, self._case_insensitive
+            ):
+                self._cascade = CascadeEngine(
+                    self._patterns, self._case_insensitive
+                )
+        if (self._cascade is not None and self._cascade.hostile
+                and not forced):
+            return None
+        return self._cascade
+
+    def _filter_engines(self, n: int) -> list:
+        """Filter engines (fingerprint / cascade) in preference order.
+
+        Both share the match_pairs/count_matches -> Optional protocol
+        (None = hostile input, try the next engine / native walk). Past
+        CASCADE_MIN_PATTERNS the cascade's deduped-prefix coarse filter
+        plus exact-membership probes scales better than per-bucket
+        fingerprint chains, so it leads; below, the fingerprint engine
+        serves and the cascade is never constructed."""
+        fp = self._fingerprint_engine(n)
+        prefer_cascade = (
+            len(self._patterns) > CASCADE_MIN_PATTERNS
+            or self._engine_mode == "cascade"
+        )
+        if fp is not None and not prefer_cascade:
+            return [fp]
+        cas = self._cascade_engine(n)
+        pair = (cas, fp) if prefer_cascade else (fp, cas)
+        return [e for e in pair if e is not None]
 
     def _oracle_automaton(self):
         """The automaton backing host walk paths, per the reported kind:
@@ -369,9 +423,8 @@ class AhoCorasick:
             pids, ends = bitap.match_pairs(hs)
             starts = ends - self._dfa.pattern_lens[pids].astype(np.int64)
             return semantics.MatchSet(pids, starts, ends, input.start)
-        fp = self._fingerprint_engine(len(hs))
-        if fp is not None:
-            got = fp.match_pairs(hs)
+        for eng in self._filter_engines(len(hs)):
+            got = eng.match_pairs(hs)
             if got is not None:  # None: filter-hostile input, fall back
                 pids, ends = got
                 starts = ends - self._dfa.pattern_lens[pids].astype(
@@ -578,9 +631,8 @@ class AhoCorasick:
                 if got is not None:  # None: candidate overflow, rescan
                     return got
             return bitap.count_matches(hs)
-        fp = self._fingerprint_engine(len(hs))
-        if fp is not None:
-            got = fp.count_matches(hs)
+        for eng in self._filter_engines(len(hs)):
+            got = eng.count_matches(hs)
             if got is not None:
                 return got
         if self._engine_mode not in ("dfa-scan", "device-only"):
@@ -779,15 +831,16 @@ class AhoCorasickBuilder:
         """TPU extension: engine preference.
 
         'auto' (bitap kernel when eligible, else the fingerprint filter
-        engine, else native walk/DFA scan; host walk for tiny
-        haystacks), 'device-only' (never host-walk), 'bitap' (force the
-        bit-parallel kernel even for tiny haystacks), 'fingerprint'
-        (force the bucketed fingerprint filter engine), 'dfa-scan'
-        (force the dense-DFA blocked scan), 'oracle' (host reference
-        walk) — the analog of the reference's test-only backend forcing
-        knobs (packed/api.rs:137-188)."""
+        engine, else the hierarchical cascade, else native walk/DFA
+        scan; host walk for tiny haystacks), 'device-only' (never
+        host-walk), 'bitap' (force the bit-parallel kernel even for tiny
+        haystacks), 'fingerprint' (force the bucketed fingerprint filter
+        engine), 'cascade' (force the very-large-set cascade engine),
+        'dfa-scan' (force the dense-DFA blocked scan), 'oracle' (host
+        reference walk) — the analog of the reference's test-only
+        backend forcing knobs (packed/api.rs:137-188)."""
         if mode not in ("auto", "oracle", "device-only", "bitap",
-                        "fingerprint", "dfa-scan"):
+                        "fingerprint", "cascade", "dfa-scan"):
             raise ValueError(f"unknown engine mode {mode!r}")
         self._engine = mode
         return self

@@ -77,7 +77,8 @@ def _pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
-def pack_chains(lens: List[int]) -> Tuple[List[int], int]:
+def pack_chains(lens: List[int],
+                decollide: bool = True) -> Tuple[List[int], int]:
     """Bin-pack chains into limbs so no chain crosses a 32-bit boundary.
 
     Returns (bit offset per chain, total limbs). A chain confined to one
@@ -86,9 +87,14 @@ def pack_chains(lens: List[int]) -> Tuple[List[int], int]:
     budget on the 5-pattern headline set. Chains longer than 32 get
     dedicated consecutive limbs; only their internal boundaries carry.
 
-    Placement also de-collides end-bit positions mod 32 when slack
-    allows, so counting can merge per-limb end-hit words into a single
-    popcount (positions distinct across limbs => popcount(OR) is exact).
+    With ``decollide`` (the count kernel's layout), placement also
+    de-collides end-bit positions mod 32 when slack allows, so counting
+    can merge per-limb end-hit words into a single popcount (positions
+    distinct across limbs => popcount(OR) is exact). The bitmap kernels
+    (ops/fingerprint.py, ops/cascade.py) OR end hits into a single
+    any-hit word instead, where the nudging would only waste limbs —
+    they pack with ``decollide=False`` (measured: 67 same-length chains
+    pack into 9 limbs instead of 42).
 
     First-fit-decreasing; padding bits are dead (their charmask is zero
     everywhere, so shifted-in garbage dies immediately).
@@ -101,6 +107,8 @@ def pack_chains(lens: List[int]) -> Tuple[List[int], int]:
     def place(limb: int, off: int, ln: int) -> int:
         """Choose the in-limb start offset, nudging right (into padding)
         to keep end positions distinct mod 32 while it still fits."""
+        if not decollide:
+            return off
         end = off + ln - 1
         while end % 32 in used_ends and (off - limb * 32) + ln < 32:
             off += 1

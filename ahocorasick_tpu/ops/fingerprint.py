@@ -109,17 +109,20 @@ def strong_pad_byte(patterns: List[bytes],
     """A byte whose lo OR hi nybble no pattern byte uses: its charmask
     is zero under ANY bucketing, so one packed haystack (padded with
     it) serves every plan level."""
-    los, his = set(), set()
-    for p in patterns:
-        for ch in p:
-            vs = {ch}
-            if case_insensitive and 0x61 <= (ch | 0x20) <= 0x7A:
-                vs = {ch | 0x20, ch & ~0x20}
-            for v in vs:
-                los.add(v & 15)
-                his.add(v >> 4)
+    vals = np.frombuffer(b"".join(patterns), np.uint8)
+    if case_insensitive:
+        alpha = (vals | 0x20)
+        vals = np.concatenate([
+            vals,
+            np.where((alpha >= 0x61) & (alpha <= 0x7A),
+                     vals ^ 0x20, vals),
+        ])
+    los = np.zeros(16, bool)
+    his = np.zeros(16, bool)
+    los[np.unique(vals & 15)] = True
+    his[np.unique(vals >> 4)] = True
     for b in range(256):
-        if (b & 15) not in los or (b >> 4) not in his:
+        if not los[b & 15] or not his[b >> 4]:
             return b
     return None
 
@@ -263,7 +266,7 @@ def plan_buckets(patterns: List[bytes], case_insensitive: bool,
         for m, pids in classes.items():
             nb = -(-len(pids) // bs[m])
             lens += [m] * nb
-        return pack_chains(lens)[1]
+        return pack_chains(lens, decollide=False)[1]
 
     if k_of(bsize) > k_budget:
         return None
@@ -295,7 +298,7 @@ def plan_buckets(patterns: List[bytes], case_insensitive: bool,
         nb = -(-len(pids) // bsize[m])
         for chunk in np.array_split(np.asarray(pids, np.int64), nb):
             buckets.append((m, chunk.tolist()))
-    offsets, K = pack_chains([m for m, _ in buckets])
+    offsets, K = pack_chains([m for m, _ in buckets], decollide=False)
     return buckets, offsets, K
 
 
@@ -564,34 +567,37 @@ def _build_cuckoo(keys: List[int], rng) -> Tuple[int, int, int, np.ndarray]:
     Returns (mult_a, mult_b, logT, slot_of_key[i]) — lookup probes the
     two slots ((h * mult) >> (32 - logT)) and compares stored keys, so a
     membership test is two 3ns element gathers instead of a binary
-    search (searchsorted measured ~60ns/element on TPU)."""
+    search (searchsorted measured ~60ns/element on TPU).
+
+    Placement is the vectorized peeling construction (the cuckoo graph
+    at load 1/4 has an empty 2-core whp): repeatedly assign every key
+    one of whose two slots is wanted by no other unassigned key, in
+    O(rounds) bincount passes — 100k keys place in milliseconds where
+    the sequential random-walk insertion took seconds."""
     n = max(len(keys), 1)
+    nk = len(keys)
     logT = max((4 * n - 1).bit_length(), 4)
     karr = np.array(keys, np.uint64)
     for _ in range(64):
         T = 1 << logT
         a = int(rng.integers(1, 1 << 32)) | 1
         b = int(rng.integers(1, 1 << 32)) | 1
-        s1 = ((karr * a) & 0xFFFFFFFF) >> (32 - logT)
-        s2 = ((karr * b) & 0xFFFFFFFF) >> (32 - logT)
-        slot = np.full(len(keys), -1, np.int64)
-        table = np.full(T, -1, np.int64)  # key index or -1
-        ok = True
-        for i in range(len(keys)):
-            cur, side = i, 0
-            for _ in range(256):
-                s = int(s1[cur]) if side == 0 else int(s2[cur])
-                prev = int(table[s])
-                table[s] = cur
-                slot[cur] = s
-                if prev < 0:
-                    break
-                cur = prev
-                side = 1 if int(s1[cur]) == s else 0
-            else:
-                ok = False
-                break
-        if ok:
+        s1 = (((karr * a) & 0xFFFFFFFF) >> (32 - logT)).astype(np.int64)
+        s2 = (((karr * b) & 0xFFFFFFFF) >> (32 - logT)).astype(np.int64)
+        slot = np.full(nk, -1, np.int64)
+        alive = np.ones(nk, bool)
+        self_double = s1 == s2  # one effective choice, counted twice
+        while alive.any():
+            occ = (np.bincount(s1[alive], minlength=T)
+                   + np.bincount(s2[alive], minlength=T))
+            one1 = occ[s1] == np.where(self_double, 2, 1)
+            one2 = occ[s2] == np.where(self_double, 2, 1)
+            pick = alive & (one1 | one2)
+            if not pick.any():
+                break  # nonempty 2-core: resample hashes
+            slot[pick] = np.where(one1[pick], s1[pick], s2[pick])
+            alive &= ~pick
+        if not alive.any():
             return a, b, logT, slot
         logT += 1
     raise ValueError("cuckoo placement failed")
