@@ -16,9 +16,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
-#include <deque>
 #include <thread>
-#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -34,39 +32,57 @@ inline uint8_t OppositeAsciiCase(uint8_t b) {
   return b;
 }
 
-struct State {
-  // Byte-sorted edges (byte, next) — mirrors the reference's sorted
-  // transition lists (noncontiguous.rs:381-423).
-  std::vector<std::pair<uint8_t, int32_t>> edges;
-  std::vector<int32_t> matches;
-  int32_t fail = 0;
-  int32_t depth = 0;
+// Flat open-addressing map over (state << 8 | byte) keys: O(1) trie
+// edge find-or-insert with zero per-state allocation. Edges are
+// appended to flat arrays during the trie build and counting-sorted
+// into a byte-ordered CSR afterwards — replacing the former per-state
+// sorted-vector inserts, which dominated the 100k-pattern build
+// (0.66 s -> the reference's noncontiguous build is 240 ms,
+// src/ahocorasick.rs:46-55).
+struct TrieMap {
+  struct Entry {
+    int64_t key;  // -1 = empty
+    int32_t val;
+    int32_t pad;
+  };  // 16 bytes: one cache line covers the entry (and its neighbor)
+  std::vector<Entry> slots;
+  uint64_t mask = 0;
 
-  int32_t Find(uint8_t b) const {
-    size_t lo = 0, hi = edges.size();
-    while (lo < hi) {
-      size_t mid = (lo + hi) / 2;
-      if (edges[mid].first < b)
-        lo = mid + 1;
-      else
-        hi = mid;
-    }
-    if (lo < edges.size() && edges[lo].first == b) return edges[lo].second;
-    return -1;
+  void Init(uint64_t want) {
+    uint64_t cap = 64;
+    while (cap < want) cap <<= 1;
+    slots.assign(cap, Entry{-1, 0, 0});
+    mask = cap - 1;
   }
-  void Insert(uint8_t b, int32_t next) {
-    size_t lo = 0, hi = edges.size();
-    while (lo < hi) {
-      size_t mid = (lo + hi) / 2;
-      if (edges[mid].first < b)
-        lo = mid + 1;
-      else
-        hi = mid;
+  static inline uint64_t Hash(uint64_t k) {
+    k *= 0x9E3779B97F4A7C15ull;
+    k ^= k >> 29;
+    return k;
+  }
+  // Pointer to the value slot; *found = false iff newly inserted.
+  int32_t* FindOrInsert(int64_t key, bool* found) {
+    uint64_t i = Hash(static_cast<uint64_t>(key)) & mask;
+    while (true) {
+      Entry& e = slots[i];
+      if (e.key == key) {
+        *found = true;
+        return &e.val;
+      }
+      if (e.key < 0) {
+        e.key = key;
+        *found = false;
+        return &e.val;
+      }
+      i = (i + 1) & mask;
     }
-    if (lo < edges.size() && edges[lo].first == b) {
-      edges[lo].second = next;
-    } else {
-      edges.insert(edges.begin() + lo, {b, next});
+  }
+  int32_t Find(int64_t key) const {
+    uint64_t i = Hash(static_cast<uint64_t>(key)) & mask;
+    while (true) {
+      const Entry& e = slots[i];
+      if (e.key == key) return e.val;
+      if (e.key < 0) return -1;
+      i = (i + 1) & mask;
     }
   }
 };
@@ -97,7 +113,6 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
   const bool leftmost = match_kind != kMatchStandard;
   const bool leftmost_first = match_kind == kMatchLeftmostFirst;
 
-  std::vector<State> st(1);  // 0 = root (unanchored start)
   bool boundary[256] = {false};
   bool any_boundary = false;
   auto set_class_boundary = [&](uint8_t b) {
@@ -111,6 +126,29 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
   int64_t min_len = INT32_MAX, max_len = 0;
 
   // --- trie build (matches Python compile_nfa) ---------------------
+  const int64_t total_bytes = pat_offsets[n_patterns];
+  const int64_t max_edges =
+      (case_insensitive ? 2 : 1) * total_bytes + 8;
+  TrieMap map;
+  // Sized to the byte-count upper bound: worst-case load <= 0.8 after
+  // the power-of-two round-up, typical dictionaries dedup far below
+  // that. Smaller tables beat lower load factors here — the probe cost
+  // is cache misses, not collisions.
+  map.Init(static_cast<uint64_t>(max_edges) + max_edges / 4);
+  std::vector<int32_t> depths(1, 0);
+  depths.reserve(total_bytes + 1);
+  // Own (trie-time) matches as flat parallel appends + per-state counts
+  // — no per-state vectors anywhere on the fast path.
+  std::vector<int32_t> own_count(1, 0);
+  own_count.reserve(total_bytes + 1);
+  std::vector<int32_t> own_state, own_pid;
+  // Appended edges; sorted into a byte-ordered CSR after the build.
+  std::vector<int32_t> estate, enext;
+  std::vector<uint8_t> ebyte;
+  estate.reserve(max_edges);
+  enext.reserve(max_edges);
+  ebyte.reserve(max_edges);
+
   for (int64_t pid = 0; pid < n_patterns; ++pid) {
     const uint8_t* p = pat_bytes + pat_offsets[pid];
     const int64_t plen = pat_offsets[pid + 1] - pat_offsets[pid];
@@ -122,28 +160,112 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
     bool pruned = false;
     for (int64_t d = 0; d < plen; ++d) {
       uint8_t b = p[d];
-      saw_match = saw_match || !st[prev].matches.empty();
+      saw_match = saw_match || own_count[prev] != 0;
       if (leftmost_first && saw_match) {
         pruned = true;
         break;
       }
       set_class_boundary(b);
       if (case_insensitive) set_class_boundary(OppositeAsciiCase(b));
-      int32_t next = st[prev].Find(b);
-      if (next < 0) {
-        next = static_cast<int32_t>(st.size());
-        st.emplace_back();
-        st.back().depth = static_cast<int32_t>(d + 1);
-        st[prev].Insert(b, next);
-        if (case_insensitive) st[prev].Insert(OppositeAsciiCase(b), next);
+      bool found;
+      int32_t* slot =
+          map.FindOrInsert((static_cast<int64_t>(prev) << 8) | b, &found);
+      int32_t next;
+      if (found) {
+        next = *slot;
+      } else {
+        next = static_cast<int32_t>(depths.size());
+        depths.push_back(static_cast<int32_t>(d + 1));
+        own_count.push_back(0);
+        *slot = next;
+        estate.push_back(prev);
+        ebyte.push_back(b);
+        enext.push_back(next);
+        if (case_insensitive) {
+          uint8_t ob = OppositeAsciiCase(b);
+          if (ob != b) {
+            bool f2;
+            int32_t* s2 = map.FindOrInsert(
+                (static_cast<int64_t>(prev) << 8) | ob, &f2);
+            if (!f2) {
+              *s2 = next;
+              estate.push_back(prev);
+              ebyte.push_back(ob);
+              enext.push_back(next);
+            }
+          }
+        }
       }
       prev = next;
     }
-    if (!pruned) st[prev].matches.push_back(static_cast<int32_t>(pid));
+    if (!pruned) {
+      ++own_count[prev];
+      own_state.push_back(prev);
+      own_pid.push_back(static_cast<int32_t>(pid));
+    }
   }
   if (n_patterns == 0) min_len = 0;
   out->min_pattern_len = static_cast<int32_t>(min_len);
   out->max_pattern_len = static_cast<int32_t>(max_len);
+
+  // --- edge CSR (state-major, byte-sorted rows) --------------------
+  const int64_t n_host_states = static_cast<int64_t>(depths.size());
+  const int64_t m_edges = static_cast<int64_t>(estate.size());
+  std::vector<int32_t> estarts(n_host_states + 1, 0);
+  for (int64_t i = 0; i < m_edges; ++i) ++estarts[estate[i] + 1];
+  for (int64_t s_i = 0; s_i < n_host_states; ++s_i)
+    estarts[s_i + 1] += estarts[s_i];
+  std::vector<uint8_t> cbyte(m_edges);
+  std::vector<int32_t> cnext(m_edges);
+  {
+    std::vector<int32_t> cur(estarts.begin(), estarts.end() - 1);
+    for (int64_t i = 0; i < m_edges; ++i) {
+      int32_t at = cur[estate[i]]++;
+      cbyte[at] = ebyte[i];
+      cnext[at] = enext[i];
+    }
+    // Rows are tiny (avg fanout ~2); insertion-sort each by byte.
+    for (int64_t s_i = 0; s_i < n_host_states; ++s_i) {
+      const int32_t lo = estarts[s_i], hi = estarts[s_i + 1];
+      for (int32_t i = lo + 1; i < hi; ++i) {
+        uint8_t kb = cbyte[i];
+        int32_t kn = cnext[i];
+        int32_t j = i - 1;
+        while (j >= lo && cbyte[j] > kb) {
+          cbyte[j + 1] = cbyte[j];
+          cnext[j + 1] = cnext[j];
+          --j;
+        }
+        cbyte[j + 1] = kb;
+        cnext[j + 1] = kn;
+      }
+    }
+  }
+  estate.clear();
+  estate.shrink_to_fit();
+  ebyte.clear();
+  ebyte.shrink_to_fit();
+  enext.clear();
+  enext.shrink_to_fit();
+
+  // Own-match CSR (stable counting sort of the (state, pid) appends).
+  std::vector<int64_t> ooff(n_host_states + 1, 0);
+  for (int32_t s : own_state) ++ooff[s + 1];
+  for (int64_t s_i = 0; s_i < n_host_states; ++s_i)
+    ooff[s_i + 1] += ooff[s_i];
+  std::vector<int32_t> opid(own_state.size());
+  {
+    std::vector<int64_t> cur(ooff.begin(), ooff.end() - 1);
+    for (size_t i = 0; i < own_state.size(); ++i)
+      opid[cur[own_state[i]]++] = own_pid[i];
+  }
+
+  // Dense root row: failure-chain walks overwhelmingly terminate at the
+  // root, so its follow is a flat array instead of a map probe.
+  int32_t root_follow[256];
+  for (int b = 0; b < 256; ++b) root_follow[b] = 0;  // self-loop
+  for (int32_t ei = estarts[0]; ei < estarts[1]; ++ei)
+    root_follow[cbyte[ei]] = cnext[ei];
 
   // --- byte classes ------------------------------------------------
   out->classes.resize(256, 0);
@@ -159,69 +281,206 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
   }
 
   // --- BFS failure fill (matches Python compile_nfa) ---------------
-  const int64_t n_host = static_cast<int64_t>(st.size());
+  // Pass 1 computes failure links only (the chain follow probes the
+  // trie map: one cache line instead of a CSR binary search); match
+  // lists are finalized afterwards into a flat CSR with sequential
+  // memcpys — the per-state vector inserts used to cost as much as the
+  // whole trie build.
+  const int64_t n_host = n_host_states;
   std::vector<int32_t> fail(n_host, 0);
-  std::deque<int32_t> queue;
-  std::unordered_set<int32_t> seen;
+  std::vector<int32_t> bfs_order;
+  bfs_order.reserve(n_host);
+  std::vector<uint8_t> copy_flag(n_host, 0);
+  std::vector<uint8_t> seen(case_insensitive ? n_host : 0, 0);
   const bool use_seen = case_insensitive != 0;
 
   auto follow_host = [&](int32_t sid, uint8_t b) -> int32_t {
-    int32_t next = st[sid].Find(b);
+    if (sid == 0) return root_follow[b];
+    int32_t next = map.Find((static_cast<int64_t>(sid) << 8) | b);
     if (next >= 0) return next;
-    if (sid == 0) return 0;  // root self-loop
-    return -2;               // FAIL
+    return -2;  // FAIL
   };
 
-  for (const auto& e : st[0].edges) {  // byte-sorted
-    int32_t next = e.second;
-    if (next == 0 || (use_seen && seen.count(next))) continue;
-    queue.push_back(next);
-    if (use_seen) seen.insert(next);
-    if (leftmost && !st[next].matches.empty()) fail[next] = HOST_DEAD;
+  for (int32_t ei = estarts[0]; ei < estarts[1]; ++ei) {  // byte-sorted
+    int32_t next = cnext[ei];
+    if (next == 0 || (use_seen && seen[next])) continue;
+    bfs_order.push_back(next);
+    if (use_seen) seen[next] = 1;
+    if (leftmost && own_count[next] != 0) fail[next] = HOST_DEAD;
   }
-  while (!queue.empty()) {
-    int32_t sid = queue.front();
-    queue.pop_front();
-    for (const auto& e : st[sid].edges) {
-      int32_t next = e.second;
-      uint8_t b = e.first;
-      if (use_seen && seen.count(next)) continue;
-      queue.push_back(next);
-      if (use_seen) seen.insert(next);
-      if (leftmost && !st[next].matches.empty()) {
-        fail[next] = HOST_DEAD;
-        continue;
-      }
-      int32_t f = fail[sid];
-      if (f == HOST_DEAD) {
-        fail[next] = HOST_DEAD;
-        continue;
-      }
-      int32_t nf;
-      while (true) {
-        nf = follow_host(f, b);
-        if (nf != -2) break;
-        f = fail[f];
-        if (f == HOST_DEAD) {
-          nf = HOST_DEAD;
-          break;
+  // Level-parallel BFS: a state's failure link depends only on strictly
+  // shallower states, so each level's edges resolve independently. Each
+  // thread handles a contiguous run of parents and collects its
+  // discoveries locally; concatenating the runs in parent order
+  // reproduces the sequential BFS order bit-for-bit. A child state is
+  // reachable from exactly one parent (case twins share the parent), so
+  // all fail/copy_flag/seen writes are race-free.
+  const int32_t kBfsThreads = std::min<int32_t>(
+      8, std::max<int32_t>(1, std::thread::hardware_concurrency()));
+  auto resolve_run = [&](size_t p_lo, size_t p_hi,
+                         std::vector<int32_t>& found) {
+    for (size_t qi = p_lo; qi < p_hi; ++qi) {
+      int32_t sid = bfs_order[qi];
+      for (int32_t ei = estarts[sid]; ei < estarts[sid + 1]; ++ei) {
+        int32_t next = cnext[ei];
+        uint8_t b = cbyte[ei];
+        if (use_seen && seen[next]) continue;
+        found.push_back(next);
+        if (use_seen) seen[next] = 1;
+        if (leftmost && own_count[next] != 0) {
+          fail[next] = HOST_DEAD;
+          continue;
         }
-      }
-      fail[next] = nf;
-      if (nf != HOST_DEAD) {
-        auto& dst = st[next].matches;
-        const auto& src = st[nf].matches;
-        dst.insert(dst.end(), src.begin(), src.end());
+        int32_t f = fail[sid];
+        if (f == HOST_DEAD) {
+          fail[next] = HOST_DEAD;
+          continue;
+        }
+        int32_t nf;
+        while (true) {
+          nf = follow_host(f, b);
+          if (nf != -2) break;
+          f = fail[f];
+          if (f == HOST_DEAD) {
+            nf = HOST_DEAD;
+            break;
+          }
+        }
+        fail[next] = nf;
+        if (nf != HOST_DEAD) copy_flag[next] = 1;
       }
     }
-    if (!leftmost) {
-      auto& dst = st[sid].matches;
-      const auto& src = st[0].matches;
-      dst.insert(dst.end(), src.begin(), src.end());
+  };
+  std::vector<std::pair<size_t, size_t>> levels;  // [begin, end) runs
+  {
+    size_t lvl_lo = 0;
+    while (lvl_lo < bfs_order.size()) {
+      const size_t lvl_hi = bfs_order.size();
+      levels.emplace_back(lvl_lo, lvl_hi);
+      const size_t width = lvl_hi - lvl_lo;
+      if (width < 4096 || kBfsThreads <= 1) {
+        std::vector<int32_t> found;
+        resolve_run(lvl_lo, lvl_hi, found);
+        bfs_order.insert(bfs_order.end(), found.begin(), found.end());
+      } else {
+        const size_t chunk = (width + kBfsThreads - 1) / kBfsThreads;
+        std::vector<std::vector<int32_t>> found(kBfsThreads);
+        std::vector<std::thread> ths;
+        for (int32_t t = 0; t < kBfsThreads; ++t) {
+          const size_t lo = lvl_lo + t * chunk;
+          const size_t hi = std::min(lvl_hi, lo + chunk);
+          if (lo >= hi) break;
+          ths.emplace_back(
+              [&, lo, hi, t] { resolve_run(lo, hi, found[t]); });
+        }
+        for (auto& th : ths) th.join();
+        for (auto& f : found)
+          bfs_order.insert(bfs_order.end(), f.begin(), f.end());
+      }
+      lvl_lo = lvl_hi;
     }
   }
 
-  const bool root_is_match = !st[0].matches.empty();
+  // --- match finalization (host-id CSR hoff/hpid) ------------------
+  // final(s) = own(s) ++ final(fail(s)) (the copy the old code did at
+  // discovery time; fail(s) is strictly shallower, so it is final by
+  // the time s appears in BFS order). The standard kind additionally
+  // appends the root's own matches at dequeue time — nonempty only
+  // when an empty pattern exists, in which case the order-sensitive
+  // interleaved replay below reproduces the historical order exactly.
+  std::vector<int64_t> hoff(n_host + 1, 0);
+  std::vector<int32_t> hpid;
+  const bool root_own_matches = own_count[0] != 0;
+  if (!root_own_matches) {
+    // Per-level parallel (final(fail) is strictly shallower, so each
+    // level's counts and fills are independent).
+    auto per_level = [&](auto&& body) {
+      for (const auto& lvl : levels) {
+        const size_t width = lvl.second - lvl.first;
+        if (width < 16384 || kBfsThreads <= 1) {
+          body(lvl.first, lvl.second);
+          continue;
+        }
+        const size_t chunk = (width + kBfsThreads - 1) / kBfsThreads;
+        std::vector<std::thread> ths;
+        for (int32_t t = 0; t < kBfsThreads; ++t) {
+          const size_t lo = lvl.first + t * chunk;
+          const size_t hi = std::min(lvl.second, lo + chunk);
+          if (lo >= hi) break;
+          ths.emplace_back([&body, lo, hi] { body(lo, hi); });
+        }
+        for (auto& th : ths) th.join();
+      }
+    };
+    std::vector<int64_t> fcnt(n_host, 0);
+    per_level([&](size_t lo, size_t hi) {
+      for (size_t qi = lo; qi < hi; ++qi) {
+        int32_t s = bfs_order[qi];
+        fcnt[s] = static_cast<int64_t>(own_count[s])
+                  + (copy_flag[s] ? fcnt[fail[s]] : 0);
+      }
+    });
+    for (int64_t s = 0; s < n_host; ++s) hoff[s + 1] = hoff[s] + fcnt[s];
+    hpid.resize(hoff[n_host]);
+    per_level([&](size_t lo, size_t hi) {
+      for (size_t qi = lo; qi < hi; ++qi) {
+        int32_t s = bfs_order[qi];
+        int64_t at = hoff[s];
+        if (own_count[s]) {
+          std::memcpy(hpid.data() + at, opid.data() + ooff[s],
+                      own_count[s] * sizeof(int32_t));
+          at += own_count[s];
+        }
+        if (copy_flag[s] && fcnt[fail[s]])
+          std::memcpy(hpid.data() + at, hpid.data() + hoff[fail[s]],
+                      fcnt[fail[s]] * sizeof(int32_t));
+      }
+    });
+  } else {
+    // Rare empty-pattern corner: replay the historical interleaving
+    // (copy children's fail lists during the parent's dequeue, then
+    // append the root matches to the dequeued state).
+    std::vector<std::vector<int32_t>> match_lists(n_host);
+    for (int64_t s = 0; s < n_host; ++s)
+      match_lists[s].assign(opid.begin() + ooff[s],
+                            opid.begin() + ooff[s + 1]);
+    const std::vector<int32_t> rootm = match_lists[0];
+    std::vector<uint8_t> seen2(use_seen ? n_host : 0, 0);
+    // Depth-1 discoveries perform no copy; replay dequeues in order.
+    if (use_seen)
+      for (int32_t ei = estarts[0]; ei < estarts[1]; ++ei)
+        if (cnext[ei] != 0) seen2[cnext[ei]] = 1;
+    for (int32_t sid : bfs_order) {
+      for (int32_t ei = estarts[sid]; ei < estarts[sid + 1]; ++ei) {
+        int32_t next = cnext[ei];
+        if (use_seen) {
+          if (seen2[next]) continue;
+          seen2[next] = 1;
+        }
+        if (copy_flag[next]) {
+          auto& dst = match_lists[next];
+          const auto& src = match_lists[fail[next]];
+          dst.insert(dst.end(), src.begin(), src.end());
+        }
+      }
+      if (!leftmost) {
+        auto& dst = match_lists[sid];
+        dst.insert(dst.end(), rootm.begin(), rootm.end());
+      }
+    }
+    for (int64_t s = 0; s < n_host; ++s)
+      hoff[s + 1] = hoff[s] + match_lists[s].size();
+    hpid.resize(hoff[n_host]);
+    for (int64_t s = 0; s < n_host; ++s) {
+      int64_t at = hoff[s];
+      for (int32_t pid : match_lists[s]) hpid[at++] = pid;
+    }
+  }
+  auto final_count = [&](int64_t s) -> int64_t {
+    return hoff[s + 1] - hoff[s];
+  };
+
+  const bool root_is_match = final_count(0) > 0;
   out->start_loop_open = !(leftmost && root_is_match);
 
   // --- final ID remapping (matches Python flatten) -----------------
@@ -229,7 +488,7 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
   int32_t next_id = 2;
   int32_t n_match_nonroot = 0;
   for (int64_t s_i = 0; s_i < n_host; ++s_i) {
-    if (s_i != 0 && !st[s_i].matches.empty()) {
+    if (s_i != 0 && final_count(s_i) > 0) {
       remap[s_i] = next_id++;
       ++n_match_nonroot;
     }
@@ -239,7 +498,7 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
   next_id += 2;
   out->max_match_id = root_is_match ? sa : 1 + n_match_nonroot;
   for (int64_t s_i = 1; s_i < n_host; ++s_i) {
-    if (st[s_i].matches.empty()) remap[s_i] = next_id++;
+    if (final_count(s_i) == 0) remap[s_i] = next_id++;
   }
   const int32_t num_states = next_id;
   out->num_states = num_states;
@@ -251,7 +510,7 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
   for (int64_t s_i = 0; s_i < n_host; ++s_i) {
     int32_t f = fail[s_i];
     out->fail[remap[s_i]] = (f == HOST_DEAD) ? 0 : remap[f];
-    out->depth[remap[s_i]] = st[s_i].depth;
+    out->depth[remap[s_i]] = depths[s_i];
   }
   out->fail[su] = out->start_loop_open ? su : 0;
   out->fail[sa] = 0;
@@ -260,30 +519,31 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
   out->match_starts.assign(num_states + 1, 0);
   for (int64_t s_i = 0; s_i < n_host; ++s_i)
     out->match_starts[remap[s_i] + 1] =
-        static_cast<int32_t>(st[s_i].matches.size());
-  out->match_starts[sa + 1] = static_cast<int32_t>(st[0].matches.size());
+        static_cast<int32_t>(final_count(s_i));
+  out->match_starts[sa + 1] = static_cast<int32_t>(final_count(0));
   for (int32_t i = 0; i < num_states; ++i)
     out->match_starts[i + 1] += out->match_starts[i];
   out->match_pids.assign(out->match_starts[num_states], 0);
   for (int64_t s_i = 0; s_i < n_host; ++s_i) {
-    int32_t lo = out->match_starts[remap[s_i]];
-    for (size_t k = 0; k < st[s_i].matches.size(); ++k)
-      out->match_pids[lo + k] = st[s_i].matches[k];
+    if (final_count(s_i))
+      std::memcpy(out->match_pids.data() + out->match_starts[remap[s_i]],
+                  hpid.data() + hoff[s_i],
+                  final_count(s_i) * sizeof(int32_t));
   }
-  {
-    int32_t lo = out->match_starts[sa];
-    for (size_t k = 0; k < st[0].matches.size(); ++k)
-      out->match_pids[lo + k] = st[0].matches[k];
-  }
+  if (final_count(0))
+    std::memcpy(out->match_pids.data() + out->match_starts[sa],
+                hpid.data() + hoff[0],
+                final_count(0) * sizeof(int32_t));
 
   // transition CSR: root materialized as a full 256-row with the
   // self-loop (or DEAD-closed) entries; anchored start = root's trie
   // edges only.
+  const int32_t root_degree = estarts[1] - estarts[0];
   out->trans_starts.assign(num_states + 1, 0);
   for (int64_t s_i = 0; s_i < n_host; ++s_i)
     out->trans_starts[remap[s_i] + 1] =
-        (s_i == 0) ? 256 : static_cast<int32_t>(st[s_i].edges.size());
-  out->trans_starts[sa + 1] = static_cast<int32_t>(st[0].edges.size());
+        (s_i == 0) ? 256 : (estarts[s_i + 1] - estarts[s_i]);
+  out->trans_starts[sa + 1] = root_degree;
   for (int32_t i = 0; i < num_states; ++i)
     out->trans_starts[i + 1] += out->trans_starts[i];
   const int64_t nnz = out->trans_starts[num_states];
@@ -295,23 +555,25 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
       const int32_t loop_target = out->start_loop_open ? su : 0;
       int32_t row[256];
       for (int b = 0; b < 256; ++b) row[b] = loop_target;
-      for (const auto& e : st[0].edges) row[e.first] = remap[e.second];
+      for (int32_t ei = estarts[0]; ei < estarts[1]; ++ei)
+        row[cbyte[ei]] = remap[cnext[ei]];
       for (int b = 0; b < 256; ++b) {
         out->trans_bytes[lo + b] = static_cast<uint8_t>(b);
         out->trans_next[lo + b] = row[b];
       }
     } else {
-      for (size_t k = 0; k < st[s_i].edges.size(); ++k) {
-        out->trans_bytes[lo + k] = st[s_i].edges[k].first;
-        out->trans_next[lo + k] = remap[st[s_i].edges[k].second];
+      for (int32_t ei = estarts[s_i], k = 0; ei < estarts[s_i + 1];
+           ++ei, ++k) {
+        out->trans_bytes[lo + k] = cbyte[ei];
+        out->trans_next[lo + k] = remap[cnext[ei]];
       }
     }
   }
   {
     int32_t lo = out->trans_starts[sa];
-    for (size_t k = 0; k < st[0].edges.size(); ++k) {
-      out->trans_bytes[lo + k] = st[0].edges[k].first;
-      out->trans_next[lo + k] = remap[st[0].edges[k].second];
+    for (int32_t ei = estarts[0], k = 0; ei < estarts[1]; ++ei, ++k) {
+      out->trans_bytes[lo + k] = cbyte[ei];
+      out->trans_next[lo + k] = remap[cnext[ei]];
     }
   }
   return out;
