@@ -714,16 +714,26 @@ class BitapEngine:
         return self._dev_args
 
     # ------------------------------------------------------------------
-    def prepare(self, hs: bytes) -> PackedHaystack:
+    def prepare(self, hs: bytes,
+                baked: Optional[bool] = None) -> PackedHaystack:
         """Upload a haystack into the device-resident kernel layout.
 
         Packing and the stream-major transpose happen once here; every
         subsequent count/extract call on the PackedHaystack dispatches
         the scan kernel directly (the production repeated-search path).
+
+        ``baked`` overrides the size heuristic: small haystacks default
+        to the table-generic kernel (one compile shared across pattern
+        sets), but a caller pinning a small corpus for many searches can
+        pass ``baked=True`` to pay the per-pattern-set compile for the
+        faster constant-folded kernel (requires a pad byte).
         """
         n = len(hs)
         L, Lc, tiles = self._layout(max(n, 1))
-        baked = self._use_baked(n)
+        if baked is None:
+            baked = self._use_baked(n)
+        else:
+            baked = bool(baked) and self.tables.pad_byte is not None
         pad = self.tables.pad_byte if baked else 0
         x32 = jax.device_put(self._pack(hs, L, tiles, pad=pad))
         halo_a, body = _to_stream_major(x32, L, tiles, self.halo)

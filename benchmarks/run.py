@@ -145,9 +145,12 @@ def suite_dict1k():
     import jax.numpy as jnp
 
     gbps = bench_dict1k(jax, jnp)
+    # The reference's bare-automaton rate on this workload class is a
+    # range, not a point: 0.34 (noncontiguous NFA) to 0.86 (dense DFA)
+    # GB/s on the sherlock rows (BASELINE.md, record/x86_64 CSV).
     emit(suite="dict1k", engine="fingerprint", patterns=1000,
          case_insensitive=True, bytes=1 << 26, gbps=round(gbps, 2),
-         ref_bare_automaton_gbps=0.86)
+         ref_bare_automaton_gbps_lo=0.34, ref_bare_automaton_gbps_hi=0.86)
 
 
 def suite_build():

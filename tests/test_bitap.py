@@ -121,6 +121,26 @@ def test_baked_variant(monkeypatch):
     check([b"aBRa", b"CAD"], hay, ci=True)
 
 
+def test_prepare_baked_override():
+    """prepare(baked=True) opts a small pinned haystack into the
+    constant-baked kernel; results must match the generic path."""
+    rng = np.random.default_rng(12)
+    pats = [b"abra", b"cadabra", b"bra"]
+    hay = bytes(rng.choice(
+        [97, 98, 99, 100, 114], size=3000
+    ).astype(np.uint8))
+    eng = BitapEngine(pats, False)
+    assert not eng._use_baked(len(hay))  # below BAKED_MIN
+    ph_gen = eng.prepare(hay)
+    ph_baked = eng.prepare(hay, baked=True)
+    assert not ph_gen.baked and ph_baked.baked
+    assert eng.count_matches(ph_baked) == eng.count_matches(ph_gen)
+    gp, ge = eng.match_pairs(ph_gen)
+    bp, be = eng.match_pairs(ph_baked)
+    np.testing.assert_array_equal(gp, bp)
+    np.testing.assert_array_equal(ge, be)
+
+
 def test_pad_byte_detection():
     t = BitapTables([b"abc"], False)
     assert t.pad_byte == 0
