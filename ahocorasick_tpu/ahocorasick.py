@@ -420,6 +420,36 @@ class AhoCorasick:
             len(hs) >= self._device_threshold
             or self._engine_mode == "bitap"
         ):
+            # Extraction routing (fastest first, measured on v5e over
+            # the 5-pattern 64 MiB headline):
+            #  1. fingerprint fused extract (26 GB/s): the 1-bit
+            #     candidate bitmap + device verify pays n/8 bytes of
+            #     HBM for positions instead of per-position end words;
+            #  2. staged extract (9.3 GB/s): end words only for flagged
+            #     candidate streams;
+            #  3. single-pass bitap extract (n*Ke*4 bytes of HBM,
+            #     chunked): the always-eligible floor.
+            # Every engine is exact; earlier ones decline (None) on
+            # hostile inputs or ineligible pattern sets.
+            if self._engine_mode != "bitap":
+                fp = self._fingerprint_engine(len(hs))
+                if fp is not None and fp.dv is not None:
+                    got = fp.match_pairs(hs)
+                    if got is not None:
+                        pids, ends = got
+                        starts = ends - self._dfa.pattern_lens[
+                            pids].astype(np.int64)
+                        return semantics.MatchSet(pids, starts, ends,
+                                                  input.start)
+                staged = self._staged_engine(len(hs))
+                if staged is not None:
+                    got = staged.match_pairs(hs)
+                    if got is not None:
+                        pids, ends = got
+                        starts = ends - self._dfa.pattern_lens[
+                            pids].astype(np.int64)
+                        return semantics.MatchSet(pids, starts, ends,
+                                                  input.start)
             pids, ends = bitap.match_pairs(hs)
             starts = ends - self._dfa.pattern_lens[pids].astype(np.int64)
             return semantics.MatchSet(pids, starts, ends, input.start)

@@ -823,15 +823,18 @@ class BitapEngine:
 
 def decode_match_words(t: BitapTables, idx: np.ndarray, vals: np.ndarray,
                        L: int, kdim: int, words_size: int,
-                       end_limbs=None) -> Tuple[np.ndarray, np.ndarray]:
+                       end_limbs=None,
+                       stream_map=None) -> Tuple[np.ndarray, np.ndarray]:
     """Decode compacted nonzero end-bit words into (pids, ends).
 
     ``idx`` are flat indices into a [tiles, L, kdim, R, 128] word array
     (entries >= words_size are compaction fill and dropped); ``vals`` the
     corresponding uint32 words. ``end_limbs`` maps the dense word axis
-    back to limb ids (baked kernels emit end-bearing limbs only). Returns
-    1-based end offsets in the row buffer's coordinates, sorted in the
-    reference's overlapping report order (end asc, length desc, pid asc).
+    back to limb ids (baked kernels emit end-bearing limbs only).
+    ``stream_map`` maps compacted lane order back to original stream ids
+    (gathered-candidate layouts, ops/staged.py). Returns 1-based end
+    offsets in the row buffer's coordinates, sorted in the reference's
+    overlapping report order (end asc, length desc, pid asc).
     """
     real = idx < words_size
     idx, vals = idx[real], vals[real]
@@ -843,6 +846,8 @@ def decode_match_words(t: BitapTables, idx: np.ndarray, vals: np.ndarray,
     if end_limbs is not None:
         k = np.asarray(end_limbs, np.int64)[k]
     stream = (tile * R + r) * 128 + c
+    if stream_map is not None:
+        stream = np.asarray(stream_map, np.int64)[stream]
     pos = stream * L + tt  # 0-based byte index of the match end
     pids_l, ends_l = [], []
     for bit in range(32):

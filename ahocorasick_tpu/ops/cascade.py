@@ -17,26 +17,29 @@ from ops a TPU is fast at:
      output bit per haystack position means "some deduped prefix chain
      ends here". Kernel cost is ~0.25 ms per limb per 64 MiB, so the
      whole coarse pass prices independently of pattern count.
-  2. *Exact-membership probes.* Dense rolling key arrays H_c (the c-byte
-     window ending at each position: the exact bytes as an int32 key for
-     c <= 4, a polynomial hash for c = 8) are computed elementwise in
-     XLA at upload time. Each candidate position probes a per-length-
-     class cuckoo table of the distinct class-c pattern prefixes — two
-     ~3 ns element gathers per class replace the reference's
-     per-candidate bucket memcmp loop (teddy/generic.rs:820-870).
-  3. *CSR group expansion + full verify.* A cuckoo hit resolves to an
-     (offset, count) range over a prefix-sorted pattern-id array;
-     (candidate x group-member) pairs are expanded ON DEVICE with the
-     rank/select machinery (ops/compaction.py `_select_units`), and each
-     pair performs one padded-pattern-matrix row gather plus a wide byte
-     compare against the candidate's window. The final compare covers
-     the WHOLE pattern, so stage-1/2 false positives and h8 collisions
-     cost time, never correctness.
+  2. *Exact-membership probes from gathered windows.* Every candidate
+     gathers one W-byte verify window (a row gather — TPU element
+     gathers are ~100x slower than row DMAs, so ALL per-candidate state
+     is packed into row records). Per distinct pattern length c <= 8,
+     the candidate's c-byte window slice IS the full pattern: an exact
+     64-bit key (two int32 words) probes a cuckoo table whose slots are
+     (key_lo, key_hi, pid, dup_count) int32 records — a hit IS a match,
+     no verification, no expansion. Patterns longer than 8 bytes probe a
+     "long" table keyed by their exact first 8 bytes whose records hold
+     CSR (group offset, count) over a prefix-sorted pid array.
+  3. *Long-group expansion + tail verify.* Long-table hits expand to
+     (candidate x group-member) compare rows with a scatter + running-
+     max pass (profiled 2-6x cheaper than per-rank two-level select at
+     these sizes), then each row does ONE row gather of a word-packed
+     (pattern words, care masks, length) record and compares only the
+     words BEYOND the 8 key bytes (the key already proved the first 8).
+     The final compare covers the whole remaining pattern, so stage-1
+     false positives cost time, never correctness.
 
 Unlike DeviceVerify (fingerprint.py), the CSR expansion places NO bound
-on how many patterns may share a fingerprint (GMAX_CAP): prefix-heavy
-dictionaries expand to exactly as many compare rows as their groups
-hold, with an adaptive device-side cap.
+on how many patterns may share a prefix (GMAX_CAP): prefix-heavy
+dictionaries expand to exactly as many compare rows as their long
+groups hold, with an adaptive device-side cap.
 
 Patterns longer than W_CASCADE ride a side exact bit-parallel engine
 (ops/bitap.py) when their total size fits its limb budget; the two
@@ -58,18 +61,15 @@ import numpy as np
 
 from ..utils import log
 from .bitap import LANES, _pow2, _to_stream_major
-from .compaction import _select_units, select_nonzero_words
+from .compaction import select_nonzero_words
 from .fingerprint import (
     FP_LEN,
     FingerprintTables,
-    _build_cuckoo,
     _fold,
-    _fold_arr,
     _fp_pallas,
     _gather_windows,
     _make_fp_baked_kernel,
     _make_fp_kernel,
-    _mclass,
     _rank_select,
     _unpack_fold,
     plan_buckets,
@@ -78,7 +78,8 @@ from .fingerprint import (
 
 Q_COARSE = 4            # coarse dedup prefix bytes (min(Q, len) per pattern)
 W_CASCADE = 64          # max pattern length handled on-device
-H8_MULT = np.uint32(0x9E3779B1)   # polynomial base for the class-8 key
+LONG = 0                # class id for patterns longer than KEY_LEN bytes
+KEY_LEN = 8             # exact-key bytes (two int32 words)
 # Coarse plan ladder: limb budgets; escalation refines prefix buckets.
 CASCADE_LEVELS = (10, 16, 24, 32)
 # Candidate / expansion hostility bounds (fractions of n).
@@ -91,16 +92,61 @@ CAP0 = 1 << 14
 
 
 def _qlen(c: int) -> int:
-    """Coarse prefix length contributed by a class-c pattern."""
+    """Coarse prefix length contributed by a pattern of length c."""
     return min(Q_COARSE, c)
+
+
+def _build_cuckoo64(lo: np.ndarray, hi: np.ndarray, rng):
+    """2-choice cuckoo placement of distinct 64-bit (lo, hi) keys.
+
+    Slot hashes mix both words with per-attempt random multipliers, so
+    two distinct keys rarely share both slots; placement is the
+    vectorized peeling construction (see fingerprint._build_cuckoo).
+    Returns (a1, a2, b1, b2, logT, slot_of_key[i])."""
+    n = max(len(lo), 1)
+    nk = len(lo)
+    logT = max((4 * n - 1).bit_length(), 4)
+    lo64 = lo.astype(np.uint64)
+    hi64 = hi.astype(np.uint64)
+    for _ in range(64):
+        T = 1 << logT
+        a1 = int(rng.integers(1, 1 << 32)) | 1
+        a2 = int(rng.integers(1, 1 << 32)) | 1
+        b1 = int(rng.integers(1, 1 << 32)) | 1
+        b2 = int(rng.integers(1, 1 << 32)) | 1
+        s1 = ((((lo64 * a1) + (hi64 * a2)) & 0xFFFFFFFF)
+              >> (32 - logT)).astype(np.int64)
+        s2 = ((((lo64 * b1) + (hi64 * b2)) & 0xFFFFFFFF)
+              >> (32 - logT)).astype(np.int64)
+        slot = np.full(nk, -1, np.int64)
+        alive = np.ones(nk, bool)
+        self_double = s1 == s2
+        while alive.any():
+            occ = (np.bincount(s1[alive], minlength=T)
+                   + np.bincount(s2[alive], minlength=T))
+            one1 = occ[s1] == np.where(self_double, 2, 1)
+            one2 = occ[s2] == np.where(self_double, 2, 1)
+            pick = alive & (one1 | one2)
+            if not pick.any():
+                break  # nonempty 2-core: resample hashes
+            slot[pick] = np.where(one1[pick], s1[pick], s2[pick])
+            alive &= ~pick
+        if not alive.any():
+            return a1, a2, b1, b2, logT, slot
+        logT += 1
+    raise ValueError("cuckoo placement failed")
 
 
 # ---------------------------------------------------------------------------
 # Tables
 # ---------------------------------------------------------------------------
 class ClassTable:
-    """Exact-membership cuckoo + CSR pid groups for one length class.
+    """Exact-key cuckoo for one pattern-length class.
 
+    Records are int32 [T, 4] rows so a probe is TWO row gathers:
+      exact class (c = pattern length <= 8): (lo, hi, rep_pid, dup_count)
+      LONG class (length > 8, keyed by first 8 bytes): (lo, hi, group
+      offset into the long pid CSR, group count)
     Construction is fully vectorized (a 100k-pattern build must stay in
     the reference's ~quarter-second class, src/ahocorasick.rs:46-55)."""
 
@@ -108,38 +154,52 @@ class ClassTable:
                  rng) -> None:
         self.c = c
         pid_arr = np.asarray(pids, np.int64)
+        kb = min(c, KEY_LEN) if c != LONG else KEY_LEN
         pmx = np.frombuffer(
-            b"".join(folded[pid][:c] for pid in pids), np.uint8
-        ).reshape(-1, c).astype(np.uint32)
-        key = np.zeros(len(pids), np.uint32)
-        if c <= 4:
-            for j in range(c):
-                key = (key << np.uint32(8)) | pmx[:, j]
-        else:
-            for j in range(c):
-                key = key * H8_MULT + pmx[:, j]
-        order = np.argsort(key, kind="stable")
-        key_s, pid_s = key[order], pid_arr[order]
+            b"".join(folded[pid][:kb] for pid in pids), np.uint8
+        ).reshape(-1, kb).astype(np.uint64)
+        lo = np.zeros(len(pids), np.uint64)
+        for j in range(min(kb, 4)):
+            lo = (lo << np.uint64(8)) | pmx[:, j]
+        hi = np.zeros(len(pids), np.uint64)
+        for j in range(4, kb):
+            hi = (hi << np.uint64(8)) | pmx[:, j]
+        key1 = (lo << np.uint64(32)) | hi
+        order = np.argsort(key1, kind="stable")
+        key_s, pid_s = key1[order], pid_arr[order]
         uniq, starts, counts = np.unique(
             key_s, return_index=True, return_counts=True
         )
-        a, b, logT, slot = _build_cuckoo(uniq.tolist(), rng)
+        ulo = (uniq >> np.uint64(32)).astype(np.uint32)
+        uhi = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        a1, a2, b1, b2, logT, slot = _build_cuckoo64(ulo, uhi, rng)
         T = 1 << logT
-        self.mult_a = np.uint32(a)
-        self.mult_b = np.uint32(b)
+        self.mults = (np.uint32(a1), np.uint32(a2),
+                      np.uint32(b1), np.uint32(b2))
         self.logT = logT
-        self.tkeys = np.zeros(T, np.uint32)
-        self.goff = np.zeros(T, np.int32)
-        self.gcnt = np.zeros(T, np.int32)
-        self.tkeys[slot] = uniq
-        self.goff[slot] = starts.astype(np.int32)
-        self.gcnt[slot] = counts.astype(np.int32)
+        rec = np.zeros((T, 4), np.int32)
+        rec[slot, 0] = ulo.view(np.int32)
+        rec[slot, 1] = uhi.view(np.int32)
+        if c == LONG:
+            rec[slot, 2] = starts.astype(np.int32)   # CSR offset
+        else:
+            rec[slot, 2] = pid_s[starts].astype(np.int32)  # rep pid
+        rec[slot, 3] = counts.astype(np.int32)
+        # Guard: an all-zero record row must never equal a real key.
+        # (lo, hi) == (0, 0) is the key of the all-zero pattern, which
+        # can exist; give empty slots an impossible count instead.
+        self.rec = rec
+        self.empty_mask = np.ones(T, bool)
+        self.empty_mask[slot] = False
+        rec[self.empty_mask, 3] = 0      # count 0 => no contribution
+        rec[self.empty_mask, 0] = -1     # and a key no window produces
+        rec[self.empty_mask, 1] = -1     # for c<8 (high bytes limited)
         self.pidlist = pid_s.astype(np.int32)
 
 
 class CascadeTables:
     """All build products: coarse filter plan + class tables + verify
-    matrices for the main (<= W_CASCADE) pattern set."""
+    records for the main (<= W_CASCADE) pattern set."""
 
     def __init__(self, patterns: List[bytes], case_insensitive: bool,
                  k_budget: int):
@@ -154,56 +214,73 @@ class CascadeTables:
         # existing machinery WITH the engine's case flag: the kernel
         # sees raw haystack bytes, so the charmasks must cover both
         # case variants (folding then re-expanding is exact for ASCII).
-        prefixes = sorted({p[:_qlen(_mclass(len(p)))] for p in folded})
+        prefixes = sorted({p[:_qlen(len(p))] for p in folded})
         self.num_prefixes = len(prefixes)
         self.coarse = FingerprintTables(prefixes, case_insensitive,
                                         k_budget)
-        # Classes: exact-membership tables.
+        # Classes: one exact-key table per distinct length <= KEY_LEN,
+        # one LONG table for everything longer (keyed by first 8 bytes).
         rng = np.random.default_rng(0xCA5)
         groups = defaultdict(list)
         for pid, p in enumerate(folded):
-            groups[_mclass(len(p))].append(pid)
+            groups[len(p) if len(p) <= KEY_LEN else LONG].append(pid)
         self.classes = {
             c: ClassTable(c, folded, pids, rng)
             for c, pids in groups.items()
         }
-        # One global pid list: per-class CSR offsets get a base added.
-        base = 0
-        parts = []
-        for c in sorted(self.classes):
-            t = self.classes[c]
-            t.goff = t.goff + base
-            base += len(t.pidlist)
-            parts.append(t.pidlist)
-        self.pidarr = np.concatenate(parts) if parts else np.zeros(
-            0, np.int32
-        )
-        # Verify matrices: pattern bytes at the window-aligned column.
-        # The candidate window is anchored at e_pos - (FP_LEN - 1) where
-        # e_pos is the coarse q-gram end, so a class-c pattern (coarse
-        # prefix q = _qlen(c)) starts at column FP_LEN - q.
-        self.W = -(-int(FP_LEN - 1 + plens.max()) // 8) * 8
-        self.pmat = np.zeros((P, self.W), np.uint8)
-        qarr = np.array([_qlen(_mclass(int(x))) for x in plens], np.int32)
-        self.pcol = (FP_LEN - qarr).astype(np.int32)
-        flat = np.frombuffer(b"".join(folded), np.uint8)
-        rows = np.repeat(np.arange(P, dtype=np.int64), plens)
-        off = np.cumsum(plens) - plens
-        within = np.arange(len(flat), dtype=np.int64) - np.repeat(
-            off, plens
-        )
-        self.pmat[rows, within + self.pcol[rows]] = flat
-        self.plens32 = plens.astype(np.int32)
+        long_t = self.classes.get(LONG)
+        self.pidarr = (long_t.pidlist if long_t is not None
+                       else np.zeros(1, np.int32))
+        # Host map for duplicate patterns in the exact classes: the
+        # device emits the representative pid + its dup count; the host
+        # expands. (The LONG CSR carries duplicate pids itself.)
+        self.dups8: Dict[int, np.ndarray] = {}
+        seen: Dict[bytes, List[int]] = defaultdict(list)
+        for pid, p in enumerate(folded):
+            if len(p) <= KEY_LEN:
+                seen[p].append(pid)
+        for pidlist in seen.values():
+            if len(pidlist) > 1:
+                self.dups8[pidlist[0]] = np.asarray(pidlist, np.int64)
+        # Verify records (LONG rows only reference them, but they are
+        # built over all main pids for direct indexing): word-packed
+        # pattern bytes at the window-aligned column, care masks, and
+        # length — one [2*Ww+1]-int32 row gather per compare row.
+        # LONG patterns anchor at window column FP_LEN - 4 = 4; the key
+        # covers columns 4..11 (= words 1..2), so tail verify starts at
+        # word TAIL_W0 = 3.
+        max_long = int(plens.max()) if long_t is not None else 1
+        self.W = -(-int(FP_LEN - 1 + max(max_long, KEY_LEN + 1)) // 8) * 8
+        self.Ww = self.W // 4
+        pcol = FP_LEN - Q_COARSE
+        pmat = np.zeros((P, self.W), np.uint8)
+        pmask = np.zeros((P, self.W), np.uint8)
+        long_pids = np.flatnonzero(plens > KEY_LEN)
+        if len(long_pids):
+            lp = plens[long_pids]
+            flat = np.frombuffer(
+                b"".join(folded[i] for i in long_pids), np.uint8
+            )
+            rows = np.repeat(long_pids, lp)
+            off = np.cumsum(lp) - lp
+            within = (np.arange(len(flat), dtype=np.int64)
+                      - np.repeat(off, lp))
+            pmat[rows, within + pcol] = flat
+            pmask[rows, within + pcol] = 0xFF
+        self.pv = np.concatenate([
+            np.ascontiguousarray(pmat).view("<i4"),
+            np.ascontiguousarray(pmask).view("<i4"),
+            plens.astype(np.int32)[:, None],
+        ], axis=1)
         self._dev = None
 
     def memory_usage(self) -> int:
-        total = (self.pmat.nbytes + self.pcol.nbytes
-                 + self.plens32.nbytes + self.pidarr.nbytes)
+        total = self.pv.nbytes + self.pidarr.nbytes
         ct = self.coarse
         total += (ct.lo.nbytes + ct.hi.nbytes + ct.start.nbytes
                   + ct.end.nbytes)
         for t in self.classes.values():
-            total += t.tkeys.nbytes + t.goff.nbytes + t.gcnt.nbytes
+            total += t.rec.nbytes
         return total
 
     def meta_key(self):
@@ -219,106 +296,153 @@ class CascadeTables:
         if self._dev is None:
             self._dev = {
                 "classes": {
-                    c: (jnp.uint32(t.mult_a), jnp.uint32(t.mult_b),
-                        jnp.asarray(t.tkeys), jnp.asarray(t.goff),
-                        jnp.asarray(t.gcnt))
+                    c: ((jnp.uint32(t.mults[0]), jnp.uint32(t.mults[1]),
+                         jnp.uint32(t.mults[2]), jnp.uint32(t.mults[3])),
+                        jnp.asarray(t.rec))
                     for c, t in self.classes.items()
                 },
                 "pidarr": jnp.asarray(self.pidarr),
-                "pmat": jnp.asarray(self.pmat),
-                "pcol": jnp.asarray(self.pcol),
-                "plens": jnp.asarray(self.plens32),
+                "pv": jnp.asarray(self.pv),
             }
         return self._dev
 
 
 # ---------------------------------------------------------------------------
-# Dense rolling key maps
-# ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("classes", "fold"))
-def _h_maps(x32, classes: Tuple[int, ...], fold: bool):
-    """Per-class dense key arrays over the packed haystack: H[c][i] is
-    the key of the c bytes ending at flat position i (folded when the
-    engine is case-insensitive). Computed once at upload time — the keys
-    depend only on the haystack, not the pattern set."""
-    b = (
-        (x32[:, None] >> jnp.array([0, 8, 16, 24], jnp.int32)) & 255
-    ).astype(jnp.uint8).reshape(-1)
-    if fold:
-        b = jnp.where((b >= 65) & (b <= 90), b | 32, b)
-    x = b.astype(jnp.uint32)
-    out = {}
-    for c in classes:
-        if c <= 4:
-            h = jnp.zeros_like(x)
-            for s in range(c - 1, -1, -1):
-                h = (h << jnp.uint32(8)) | jnp.roll(x, s)
-        else:
-            h = jnp.zeros_like(x)
-            for s in range(c - 1, -1, -1):
-                h = h * H8_MULT + jnp.roll(x, s)
-        out[c] = h
-    return out
-
-
-# ---------------------------------------------------------------------------
 # Fused device pipeline
 # ---------------------------------------------------------------------------
-def _probe_expand_verify(e_pos, live, hmaps, wnd, n, dv, meta,
-                         extract: bool, cap_e: int, cap_m: int):
-    """Stages 2+3: per-class cuckoo probes, CSR expansion, full verify.
+def _class_key(wnd, c: int):
+    """(lo, hi) int32 key words of the class-c window slice.
 
-    Returns (total_expanded, total_matches[, out_pid, out_end])."""
-    cap_c = e_pos.shape[0]
-    cls = sorted(meta)
-    cnt_parts, off_parts, sp_parts = [], [], []
-    for c in cls:
-        logT = meta[c]
-        ha, hb, tkeys, goff, gcnt = dv["classes"][c]
-        ec = e_pos + (c - _qlen(c))
-        valid = live & (ec >= c - 1) & (ec < n)
-        ecc = jnp.clip(ec, 0, hmaps[c].shape[0] - 1)
-        h = jnp.take(hmaps[c], ecc)
-        sh = jnp.uint32(32 - logT)
-        s1 = ((h * ha) >> sh).astype(jnp.int32)
-        s2 = ((h * hb) >> sh).astype(jnp.int32)
-        use1 = jnp.take(tkeys, s1) == h
-        use2 = jnp.take(tkeys, s2) == h
-        slot = jnp.where(use1, s1, s2)
-        hit = (use1 | use2) & valid
-        cnt_parts.append(
-            jnp.where(hit, jnp.take(gcnt, slot), 0)
-        )
-        off_parts.append(jnp.take(goff, slot))
-        sp_parts.append(ec - (c - 1))  # candidate pattern start
-    counts = jnp.concatenate(cnt_parts)
-    offs = jnp.concatenate(off_parts)
-    sps = jnp.concatenate(sp_parts)
-    # Device expansion: unit r of group src -> compare row.
-    total_e, src, live_e, resid = _select_units(
-        counts.reshape(-1, 128), cap_e
+    The window is anchored at e_pos - (FP_LEN - 1); a class-c pattern
+    (coarse prefix q = min(4, c)) starts at column FP_LEN - q, so its
+    key bytes occupy columns FP_LEN - q .. FP_LEN - q + min(c, 8) - 1.
+    """
+    q = _qlen(c) if c != LONG else Q_COARSE
+    kb = min(c, KEY_LEN) if c != LONG else KEY_LEN
+    col0 = FP_LEN - q
+    lo = jnp.zeros(wnd.shape[0], jnp.int32)
+    for j in range(min(kb, 4)):
+        lo = (lo << jnp.int32(8)) | wnd[:, col0 + j].astype(jnp.int32)
+    hi = jnp.zeros(wnd.shape[0], jnp.int32)
+    for j in range(4, kb):
+        hi = (hi << jnp.int32(8)) | wnd[:, col0 + j].astype(jnp.int32)
+    return lo, hi
+
+
+def _probe(dv, meta, c: int, wnd, e_pos, live, n):
+    """One class probe: 2 record row gathers + key compares.
+
+    Returns (hit, rec, sp) where rec is the winning [cap_c, 4] record
+    and sp the candidate pattern-start position for this class."""
+    mults, trec = dv["classes"][c]
+    a1, a2, b1, b2 = mults
+    logT = meta[c]
+    lo, hi = _class_key(wnd, c)
+    q = _qlen(c) if c != LONG else Q_COARSE
+    kb = min(c, KEY_LEN) if c != LONG else KEY_LEN
+    sp = e_pos - (q - 1)
+    ulo = lo.astype(jnp.uint32)
+    uhi = hi.astype(jnp.uint32)
+    sh = jnp.uint32(32 - logT)
+    s1 = ((ulo * a1 + uhi * a2) >> sh).astype(jnp.int32)
+    s2 = ((ulo * b1 + uhi * b2) >> sh).astype(jnp.int32)
+    r1 = jnp.take(trec, s1, axis=0)
+    r2 = jnp.take(trec, s2, axis=0)
+    # A slot matches only when its key equals AND it is occupied
+    # (count > 0): empty slots carry key (-1, -1), which an all-0xFF
+    # window CAN produce — without the occupancy test such a window
+    # would both fake-hit empty slots and shadow a real all-0xFF
+    # pattern sitting in the other slot.
+    h1 = (r1[:, 0] == lo) & (r1[:, 1] == hi) & (r1[:, 3] > 0)
+    h2 = (r2[:, 0] == lo) & (r2[:, 1] == hi) & (r2[:, 3] > 0)
+    rec = jnp.where(h1[:, None], r1, r2)
+    valid = live & (sp >= 0) & (sp + kb <= n)
+    return (h1 | h2) & valid, rec, sp
+
+
+def _expand_gid(counts, cap_e: int):
+    """Vectorized CSR expansion: group id per output row.
+
+    counts [ng] -> (total, gid[cap_e], resid[cap_e], live[cap_e]).
+    Scatter each live group's index at its exclusive-cumsum start, then
+    a running max assigns every row its group — profiled 2-6x cheaper
+    than the per-rank two-level select at 10^5..10^6 rows."""
+    ends = jnp.cumsum(counts)
+    total = ends[-1]
+    starts = ends - counts
+    ng = counts.shape[0]
+    sidx = jnp.where(counts > 0, starts, cap_e)
+    marker = jnp.zeros(cap_e + 1, jnp.int32).at[sidx].max(
+        jnp.arange(ng, dtype=jnp.int32) + 1, mode="drop"
     )
-    src = jnp.where(live_e, src, 0)
-    pid = jnp.take(dv["pidarr"],
-                   jnp.take(offs, src) + resid.astype(jnp.int32))
-    pid = jnp.where(live_e, pid, 0)
-    sp_e = jnp.take(sps, src)
-    plen = jnp.take(dv["plens"], pid)
-    pcol = jnp.take(dv["pcol"], pid)
-    wrow = jnp.take(wnd, src % cap_c, axis=0)          # [cap_e, W]
-    prow = jnp.take(dv["pmat"], pid, axis=0)           # [cap_e, W]
-    colv = jnp.arange(wnd.shape[1], dtype=jnp.int32)[None, :]
-    care = (colv >= pcol[:, None]) & (colv < (pcol + plen)[:, None])
-    eq = jnp.all((wrow == prow) | ~care, axis=1)
-    ok = (live_e & eq & (sp_e >= 0) & (sp_e + plen <= n))
-    total = jnp.sum(ok.astype(jnp.int32))
+    gid = jax.lax.associative_scan(jnp.maximum, marker[:cap_e]) - 1
+    gid = jnp.maximum(gid, 0)
+    j = jnp.arange(cap_e, dtype=jnp.int32)
+    live = j < total
+    resid = j - jnp.take(starts, gid)
+    return total, gid, resid, live
+
+
+def _pack_words(wnd):
+    """[cap, W] uint8 windows -> [cap, W/4] int32 (little-endian, the
+    numpy '<i4' view layout of the host-side pv records)."""
+    w = wnd.astype(jnp.int32).reshape(wnd.shape[0], -1, 4)
+    return (w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16)
+            | (w[:, :, 3] << 24))
+
+
+TAIL_W0 = 3  # first verify word: words 0..2 = cols 0..11 (key-covered)
+
+
+def _probe_expand_verify(e_pos, live, wnd, n, dv, meta,
+                         extract: bool, cap_e: int, cap_m: int):
+    """Stages 2+3 over gathered windows.
+
+    Returns (long_expanded, total[, out_pid, out_end])."""
+    cap_c = e_pos.shape[0]
+    total = jnp.int32(0)
+    ok_parts, pid_parts, end_parts = [], [], []
+    long_hit = None
+    for c in sorted(k for k in meta if k != LONG):
+        hit, rec, sp = _probe(dv, meta, c, wnd, e_pos, live, n)
+        total = total + jnp.sum(jnp.where(hit, rec[:, 3], 0))
+        if extract:
+            ok_parts.append(hit)
+            pid_parts.append(rec[:, 2])
+            end_parts.append(sp + c)
+    total_e = jnp.int32(0)
+    if LONG in meta:
+        hit, rec, sp = _probe(dv, meta, LONG, wnd, e_pos, live, n)
+        counts = jnp.where(hit, rec[:, 3], 0)
+        grec = jnp.stack([rec[:, 2], sp], axis=1)        # [cap_c, 2]
+        total_e, gid, resid, live_e = _expand_gid(counts, cap_e)
+        g = jnp.take(grec, gid, axis=0)                  # row gather
+        pidx = jnp.where(live_e, g[:, 0] + resid, 0)
+        pid = jnp.take(dv["pidarr"], pidx)               # element gather
+        sp_e = g[:, 1]
+        wrow = _pack_words(jnp.take(wnd, gid, axis=0))   # [cap_e, Ww]
+        pvrow = jnp.take(dv["pv"], pid, axis=0)          # [cap_e, 2Ww+1]
+        Ww = wrow.shape[1]
+        pw = pvrow[:, :Ww]
+        pm = pvrow[:, Ww:2 * Ww]
+        plen = pvrow[:, 2 * Ww]
+        eq = jnp.ones(cap_e, bool)
+        for w in range(TAIL_W0, Ww):
+            eq = eq & ((wrow[:, w] & pm[:, w]) == pw[:, w])
+        ok = live_e & eq & (sp_e >= 0) & (sp_e + plen <= n)
+        total = total + jnp.sum(ok.astype(jnp.int32))
+        if extract:
+            ok_parts.append(ok)
+            pid_parts.append(pid)
+            end_parts.append(sp_e + plen)
     if not extract:
         return total_e, total
-    endv = sp_e + plen
-    okm = ok.astype(jnp.int32)
-    _, mi, _, mlive = select_nonzero_words(okm, cap_m)
-    out_pid = jnp.where(mlive, jnp.take(pid, mi), -1)
-    out_end = jnp.where(mlive, jnp.take(endv, mi), -1)
+    okc = jnp.concatenate(ok_parts).astype(jnp.int32)
+    pidc = jnp.concatenate(pid_parts)
+    endc = jnp.concatenate(end_parts)
+    _, mi, _, mlive = select_nonzero_words(okc, cap_m)
+    out_pid = jnp.where(mlive, jnp.take(pidc, mi), -1)
+    out_end = jnp.where(mlive, jnp.take(endc, mi), -1)
     return total_e, total, out_pid, out_end
 
 
@@ -326,18 +450,19 @@ def _probe_expand_verify(e_pos, live, hmaps, wnd, n, dv, meta,
 def _cascade_jit(coarse_key, meta_key, K: int, L: int, Lc: int, H: int,
                  tiles: int, extract: bool):
     """Fused baked pipeline: coarse bitmap kernel -> rank/select ->
-    probes -> expansion -> verify. One dispatch; only scalars (count) or
-    O(#matches) pairs (extract) leave the device."""
+    window gather -> probes -> long expansion -> tail verify. One
+    dispatch; only scalars (count) or O(#matches) pairs (extract) leave
+    the device."""
     kernel = _make_fp_baked_kernel(*coarse_key, K, Lc, H)
     W, cls = meta_key
     meta = dict(cls)
 
-    def fn(halo, body, u8f, hmaps, n, dv, cap_c, cap_e, cap_m=None):
+    def fn(halo, body, u8f, n, dv, cap_c, cap_e, cap_m=None):
         cnt, bmp = _fp_pallas(kernel, None, halo, body,
                               K, L, Lc, tiles, H // 4)
         ncand, e_pos, live = _rank_select(bmp, L, cap_c)
         wnd = _gather_windows(u8f, e_pos, W)
-        out = _probe_expand_verify(e_pos, live, hmaps, wnd, n, dv, meta,
+        out = _probe_expand_verify(e_pos, live, wnd, n, dv, meta,
                                    extract, cap_e, cap_m)
         return (ncand,) + out
 
@@ -354,14 +479,14 @@ def _cascade_generic_jit(meta_key, K: int, L: int, Lc: int, H: int,
     W, cls = meta_key
     meta = dict(cls)
 
-    def fn(lo, hi, sm, em, nn, halo, body, u8f, hmaps, n, dv,
+    def fn(lo, hi, sm, em, nn, halo, body, u8f, n, dv,
            cap_c, cap_e, cap_m=None):
         kernel = _make_fp_kernel(K, L, Lc, H)
         cnt, bmp = _fp_pallas(kernel, (lo, hi, sm, em, nn), halo, body,
                               K, L, Lc, tiles, H // 4)
         ncand, e_pos, live = _rank_select(bmp, L, cap_c)
         wnd = _gather_windows(u8f, e_pos, W)
-        out = _probe_expand_verify(e_pos, live, hmaps, wnd, n, dv, meta,
+        out = _probe_expand_verify(e_pos, live, wnd, n, dv, meta,
                                    extract, cap_e, cap_m)
         return (ncand,) + out
 
@@ -374,12 +499,12 @@ def _cascade_generic_jit(meta_key, K: int, L: int, Lc: int, H: int,
 # ---------------------------------------------------------------------------
 class CascadeHaystack:
     """Device-resident cascade layout: upload once, search many times
-    (packed kernel streams + verify strip + dense key maps)."""
+    (packed kernel streams + verify strip)."""
 
     __slots__ = ("n", "L", "Lc", "tiles", "baked", "halo_a", "body",
-                 "u8f", "hmaps", "hs", "side")
+                 "u8f", "hs", "side")
 
-    def __init__(self, n, L, Lc, tiles, baked, halo_a, body, u8f, hmaps,
+    def __init__(self, n, L, Lc, tiles, baked, halo_a, body, u8f,
                  hs, side):
         self.n = n
         self.L = L
@@ -389,7 +514,6 @@ class CascadeHaystack:
         self.halo_a = halo_a
         self.body = body
         self.u8f = u8f
-        self.hmaps = hmaps
         self.hs = hs
         self.side = side    # side BitapEngine PackedHaystack, or None
 
@@ -455,16 +579,14 @@ class CascadeEngine:
             if not BitapEngine.eligible(longs):
                 return False
         folded = [_fold(p) if case_insensitive else p for p in main]
-        prefixes = sorted({p[:_qlen(_mclass(len(p)))] for p in folded})
+        prefixes = sorted({p[:_qlen(len(p))] for p in folded})
         return plan_buckets(prefixes, case_insensitive,
                             CASCADE_LEVELS[-1]) is not None
 
     def _tables(self, lvl: int) -> Optional[CascadeTables]:
         if lvl not in self._tables_cache:
             folded = [_fold(p) if self.ci else p for p in self._main_pats]
-            prefixes = sorted({
-                p[:_qlen(_mclass(len(p)))] for p in folded
-            })
+            prefixes = sorted({p[:_qlen(len(p))] for p in folded})
             if plan_buckets(prefixes, self.ci,
                             CASCADE_LEVELS[lvl]) is None:
                 self._tables_cache[lvl] = None
@@ -505,11 +627,10 @@ class CascadeEngine:
         x32 = jax.device_put(jnp.asarray(buf.view(np.int32)))
         halo_a, body = _to_stream_major(x32, L, tiles, self.halo)
         u8f = _unpack_fold(x32, self.tables.W, self.ci)
-        hm = _h_maps(x32, tuple(sorted(self.tables.classes)), self.ci)
         baked = self.pad_byte is not None
         side_ph = self.side.prepare(hs) if self.side is not None else None
         return CascadeHaystack(n, L, Lc, tiles, baked, halo_a, body,
-                               u8f, hm, hs, side_ph)
+                               u8f, hs, side_ph)
 
     def _limits(self, n: int) -> Tuple[int, int]:
         lim = max(CAND_FLOOR, n >> CAND_SHIFT)
@@ -538,13 +659,13 @@ class CascadeEngine:
                     t.coarse.baked_key(), mk, t.coarse.k, L, Lc,
                     self.halo, tiles, extract,
                 )
-                args = (ph.halo_a, ph.body, ph.u8f, ph.hmaps, n_dev, dv)
+                args = (ph.halo_a, ph.body, ph.u8f, n_dev, dv)
             else:
                 fn = _cascade_generic_jit(
                     mk, t.coarse.k, L, Lc, self.halo, tiles, extract,
                 )
                 args = (*t.coarse.device_args(), nn, ph.halo_a, ph.body,
-                        ph.u8f, ph.hmaps, n_dev, dv)
+                        ph.u8f, n_dev, dv)
             if extract:
                 ncand, ne, total, out_pid, out_end = fn(
                     *args, cap_c=cap_c, cap_e=cap_e, cap_m=cap_m
@@ -580,6 +701,19 @@ class CascadeEngine:
         end = np.asarray(out_end).astype(np.int64)
         real = pid >= 0
         pid, end = pid[real], end[real]
+        # Expand duplicate exact-class patterns (the device emitted the
+        # representative pid once per match site).
+        dups = self.tables.dups8
+        if dups:
+            extra_p, extra_e = [], []
+            for rep, group in dups.items():
+                at = np.flatnonzero(pid == rep)
+                if len(at):
+                    extra_p.append(np.tile(group[1:], len(at)))
+                    extra_e.append(np.repeat(end[at], len(group) - 1))
+            if extra_p:
+                pid = np.concatenate([pid] + extra_p)
+                end = np.concatenate([end] + extra_e)
         # Map main-set pids back to the full pattern-set ids.
         return self.main_pids[pid], end
 

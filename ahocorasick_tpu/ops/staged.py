@@ -147,14 +147,22 @@ def _make_flags_kernel(lo_c, hi_c, sm_c, em_c, K: int, Lc: int, H: int):
 # Stage 2: exact count over gathered candidate streams
 # ---------------------------------------------------------------------------
 def _make_gathered_kernel(lo_c, hi_c, sm_c, em_c, K: int, L: int, Lc: int,
-                          H: int):
+                          H: int, extract: bool = False):
     """Baked exact kernel over compacted streams: lane (r, c) of tile i
     carries original stream id sid_ref[0, r, c] (-1 = padding lane); the
-    count window is [n0, n) in ORIGINAL haystack coordinates."""
+    count window is [n0, n) in ORIGINAL haystack coordinates.
+
+    Extract mode additionally writes the end-bit words of end-bearing
+    limbs per position (masked to the count window), the gathered analog
+    of the single-pass extract kernel (bitap._make_baked_kernel)."""
     Wc = Lc // 4
     Hw = H // 4
 
-    def kernel(nn_ref, sid_ref, halo_ref, body_ref, cnt_ref, ms_ref):
+    def kernel(nn_ref, sid_ref, halo_ref, body_ref, *out_and_scratch):
+        if extract:
+            cnt_ref, words_ref, ms_ref = out_and_scratch
+        else:
+            cnt_ref, ms_ref = out_and_scratch
         j = pl.program_id(1)
         sid = sid_ref[0]
         n0 = nn_ref[0]
@@ -202,12 +210,15 @@ def _make_gathered_kernel(lo_c, hi_c, sm_c, em_c, K: int, L: int, Lc: int,
                 ms, hits = advance(ms, b)
                 pos = pos_base + (w * 4 + jj)
                 ok = (sid >= 0) & (pos >= n0) & (pos < n)
+                ke = 0
                 for k in range(K):
                     if hits[k] is None:
                         continue
-                    acc = acc + lax.population_count(
-                        jnp.where(ok, hits[k], 0)
-                    )
+                    masked = jnp.where(ok, hits[k], 0)
+                    acc = acc + lax.population_count(masked)
+                    if extract:
+                        words_ref[0, w * 4 + jj, ke] = masked
+                        ke += 1
             return ms, acc
 
         ms0 = [ms_ref[k] for k in range(K)]
@@ -296,6 +307,96 @@ def _staged_jit(fp_key, full_key, Kf: int, K: int, L: int, Lc: int,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def _staged_extract_jit(fp_key, full_key, Kf: int, K: int, L: int,
+                        Lc: int, Lce: int, H: int, tiles: int, cap: int,
+                        cap_w: int, Ke: int):
+    """Fused extraction: stage-1 flags -> device gather -> stage-2
+    extract kernel (end-bit words for candidate streams only) -> word
+    compaction. The end-word HBM traffic scales with the candidate
+    fraction, not the haystack — extraction at ~count cost on
+    match-sparse inputs (the reference's own headline regime is
+    find_iter, record/x86_64 sherlock rows).
+
+    Returns fn(rows, hrows, halo, body, nn) ->
+    (total, ncand, cand[cap], nnzw, widx[cap_w], vals[cap_w])."""
+    flags_kernel = _make_flags_kernel(*fp_key[:2], fp_key[2], fp_key[3],
+                                      Kf, Lc, H)
+    gath_kernel = _make_gathered_kernel(*full_key[:2], full_key[2],
+                                        full_key[3], K, L, Lce, H,
+                                        extract=True)
+    ns = tiles * LANES
+    Wb = L // 4
+    Hw = H // 4
+    nchunks = L // Lc
+    Wc = Lc // 4
+    nchunks_e = L // Lce
+    Wce = Lce // 4
+    tiles_c = cap // LANES
+
+    def fn(rows, hrows, halo, body, nn):
+        from .compaction import select_nonzero_words
+
+        flags = pl.pallas_call(
+            flags_kernel,
+            grid=(tiles, nchunks),
+            in_specs=[
+                pl.BlockSpec((Hw, R, 128), lambda i, j: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Wc, R, 128), lambda i, j: (j, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[pl.BlockSpec((1, R, 128), lambda i, j: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((tiles, R, 128), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((Kf, R, 128), jnp.int32)],
+            interpret=_interpret(),
+        )(halo, body)
+        fl = flags[0].reshape(ns)
+        ncand, widx, _, live = select_nonzero_words(fl, cap)
+        cand = jnp.where(live, widx, -1)
+        safe = jnp.maximum(cand, 0)
+        grows = jnp.take(rows, safe, axis=0)
+        ghalo = jnp.take(hrows, safe, axis=0)
+        gbody = grows.T.reshape(Wb, cap // 128, 128)
+        ghal = ghalo.T.reshape(Hw, cap // 128, 128)
+        sid_t = cand.reshape(tiles_c, R, 128).astype(jnp.int32)
+        counts, words = pl.pallas_call(
+            gath_kernel,
+            grid=(tiles_c, nchunks_e),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # nn [2]
+                pl.BlockSpec((1, R, 128), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Hw, R, 128), lambda i, j: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Wce, R, 128), lambda i, j: (j, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, R, 128), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Lce, Ke, R, 128),
+                             lambda i, j: (i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((tiles_c, R, 128), jnp.int32),
+                jax.ShapeDtypeStruct((tiles_c, L, Ke, R, 128),
+                                     jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((K, R, 128), jnp.int32)],
+            interpret=_interpret(),
+        )(nn, sid_t, ghal, gbody)
+        total = jnp.sum(counts)
+        flat = words.reshape(-1)
+        nnzw, wix, vals, wlive = select_nonzero_words(flat, cap_w)
+        wix = jnp.where(wlive, wix, flat.shape[0])
+        return total, ncand, cand, nnzw, wix, vals
+
+    return jax.jit(fn)
+
+
 class StagedHaystack:
     """Device-resident staged-engine layout: upload + transpose once,
     count many times (the production repeated-search path)."""
@@ -335,6 +436,10 @@ class StagedEngine:
         self.fp = BitapTables(_fingerprints(patterns), case_insensitive)
         h = max(self.full.max_pattern_len - 1, 1)
         self.halo = max(_pow2(h), 4)
+        # Extraction caps persist per engine instance: settled once,
+        # repeated searches dispatch exactly one fused call.
+        self._cap_s = 0
+        self._cap_w = 0
 
     @classmethod
     def eligible(cls, patterns: List[bytes], n: int,
@@ -381,6 +486,63 @@ class StagedEngine:
                          ph.tiles, cap)
         nn = jnp.asarray([0, ph.n], jnp.int32)
         return lambda: fn(ph.rows, ph.hrows, ph.halo_a, ph.body, nn)
+
+    def match_pairs(self, hs):
+        """All overlapping matches as (pids, ends), or None on candidate
+        overflow (caller falls back).
+
+        Extraction rides the same two-stage structure as counting: the
+        end-bit words that the single-pass extract kernel would write
+        for EVERY position (n * Ke * 4 bytes of HBM) are written only
+        for flagged candidate streams — on match-sparse inputs the
+        extract scan runs at ~count cost, which is what the reference's
+        prefilter-accelerated find_iter headline measures."""
+        from .bitap import decode_match_words
+
+        ph = hs if isinstance(hs, StagedHaystack) else None
+        if ph is None:
+            if len(hs) == 0:
+                return np.zeros(0, np.int64), np.zeros(0, np.int64)
+            ph = self.prepare(hs)
+        if ph.n == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        t = self.full
+        Ke = len(t.end_limbs)
+        L = ph.L
+        Lce = ph.Lc
+        while Lce * Ke > 1024 and Lce > 4:
+            Lce //= 2
+        ns = ph.tiles * LANES
+        nn = jnp.asarray([0, ph.n], jnp.int32)
+        cap = max(self._cap_s, max(LANES, _pow2(ns // 8)))
+        cap_w = max(self._cap_w, 4096)
+        while cap <= ns:
+            fn = _staged_extract_jit(
+                self.fp.baked_key(), t.baked_key(), self.fp.k, t.k,
+                L, ph.Lc, Lce, self.halo, ph.tiles, cap, cap_w, Ke,
+            )
+            total, ncand, cand, nnzw, wix, vals = fn(
+                ph.rows, ph.hrows, ph.halo_a, ph.body, nn
+            )
+            if int(ncand) > cap:
+                cap = max(cap * 2, _pow2(int(ncand)))
+                continue
+            if int(nnzw) > cap_w:
+                cap_w = max(64, _pow2(int(nnzw)))
+                continue
+            break
+        else:
+            return None
+        self._cap_s = max(self._cap_s, cap)
+        self._cap_w = max(self._cap_w, cap_w)
+        if int(total) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        words_size = (cap // LANES) * L * Ke * LANES
+        return decode_match_words(
+            t, np.asarray(wix).astype(np.int64),
+            np.asarray(vals).view(np.uint32), L, Ke, words_size,
+            end_limbs=t.end_limbs, stream_map=np.asarray(cand),
+        )
 
     def count_matches(self, hs) -> Optional[int]:
         """Exact overlapping-match count, or None when the candidate set

@@ -23,6 +23,9 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from bench import build_words, build_dict_text, NAME_SYLLABLES
 
 
@@ -96,18 +99,17 @@ def main():
     n_dev = jnp.int32(ph.n)
 
     @functools.partial(jax.jit, static_argnames=("reps",))
-    def chained_count(halo, body, u8f, hmaps, reps):
+    def chained_count(halo, body, u8f, reps):
         acc = jnp.int32(0)
         for _ in range(reps):
-            _nc, _ne, total = fn(halo, body, u8f, hmaps, n_dev, dv,
+            _nc, _ne, total = fn(halo, body, u8f, n_dev, dv,
                                  cap_c=cap_c, cap_e=cap_e)
             acc = acc + total
             body, acc = jax.lax.optimization_barrier((body, acc))
         return acc
 
     def run_count(reps):
-        out = int(chained_count(ph.halo_a, ph.body, ph.u8f, ph.hmaps,
-                                reps))
+        out = int(chained_count(ph.halo_a, ph.body, ph.u8f, reps))
         assert out == want * reps, (out, want * reps)
 
     log("count slope:")
@@ -124,18 +126,18 @@ def main():
                        ph.L, ph.Lc, eng.halo, ph.tiles, True)
 
     @functools.partial(jax.jit, static_argnames=("reps",))
-    def chained_ext(halo, body, u8f, hmaps, reps):
+    def chained_ext(halo, body, u8f, reps):
         acc = jnp.int32(0)
         for _ in range(reps):
             _nc, _ne, total, opid, oend = fne(
-                halo, body, u8f, hmaps, n_dev, dv,
+                halo, body, u8f, n_dev, dv,
                 cap_c=cap_c, cap_e=cap_e, cap_m=cap_m)
             acc = acc + total + opid[0] + oend[-1].astype(jnp.int32)
             body, acc = jax.lax.optimization_barrier((body, acc))
         return acc
 
     def run_ext(reps):
-        int(chained_ext(ph.halo_a, ph.body, ph.u8f, ph.hmaps, reps))
+        int(chained_ext(ph.halo_a, ph.body, ph.u8f, reps))
 
     log("extract slope:")
     per_e = slope(run_ext)

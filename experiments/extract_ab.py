@@ -23,6 +23,9 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from bench import build_haystack, host_count
 
 PATTERNS = [

@@ -209,6 +209,32 @@ def test_facade_auto_routes_large_sets_to_cascade():
     assert ac._cascade is not None and not ac._cascade.hostile
 
 
+def test_cascade_duplicate_patterns():
+    """Exact duplicate patterns must each report (the device emits the
+    representative pid once; the host expands short-class duplicates,
+    the long CSR carries them natively)."""
+    rng = np.random.default_rng(52)
+    base = make_dict(rng, 60, NAME_SYL)
+    dup_short = base[3]              # len <= 8 duplicate
+    dup_long = b"barbelfandanvor"    # len > 8 duplicate
+    pats = list(base) + [dup_short, dup_short, dup_long, dup_long]
+    hay = make_text(rng, 8_000, pats, density=0.05) + dup_long + dup_short
+    check_engine(pats, hay)
+
+
+def test_cascade_all_ff_bytes():
+    """0xFF-saturated patterns and windows: an all-0xFF window key
+    equals the empty-slot sentinel and must neither fake-hit empty
+    slots nor shadow a real all-0xFF pattern."""
+    rng = np.random.default_rng(53)
+    pats = make_dict(rng, 50, NAME_SYL)
+    pats += [b"\xff" * 8, b"\xff" * 4, b"\xff\xff\xff\xff\xff\xff\xff"]
+    pats = sorted(set(pats))
+    hay = (make_text(rng, 5_000, pats, density=0.03)
+           + b"\xff" * 40 + make_text(rng, 2_000, pats))
+    check_engine(pats, hay)
+
+
 def test_cascade_hostile_input_falls_back():
     """Candidate-dense input (text made of dictionary words) must mark
     the engine hostile and return None so the facade can fall back."""

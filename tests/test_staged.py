@@ -102,3 +102,67 @@ def test_facade_count_uses_staged_path(monkeypatch):
     want = ac._bitap_engine().count_matches(hay)
     assert ac.count_matches(hay) == want
     assert ac._staged is not None  # staged path actually engaged
+
+
+def pairs_eq(a, b):
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_staged_extraction_matches_bitap():
+    """Staged match_pairs must equal the single-pass extraction exactly
+    (same (pid, end) set in the same report order), including matches
+    straddling stream boundaries."""
+    hay = make_hay(n=STAGED_L * 1024 + 77)
+    bit = BitapEngine(PATS, False)
+    st = StagedEngine(PATS, False)
+    want = bit.match_pairs(hay)
+    got = st.match_pairs(hay)
+    assert got is not None and len(got[0]) > 0
+    pairs_eq(got, want)
+    # repeated search on a prepared layout: settled caps, same result
+    ph = st.prepare(hay)
+    pairs_eq(st.match_pairs(ph), want)
+    pairs_eq(st.match_pairs(ph), want)
+
+
+def test_staged_extraction_boundary_and_case():
+    n = STAGED_L * 1024 + 13
+    buf = bytearray(b"." * n)
+    plant(buf, 0, PATS[0])
+    plant(buf, n - len(PATS[1]), PATS[1])
+    for s in range(1, n // STAGED_L, 5):
+        plant(buf, s * STAGED_L - 6, b"iRENE aDLER")
+    hay = bytes(buf)
+    bit = BitapEngine(PATS, True)
+    st = StagedEngine(PATS, True)
+    got = st.match_pairs(hay)
+    assert got is not None
+    pairs_eq(got, bit.match_pairs(hay))
+
+
+def test_staged_extraction_dense_overflow_falls_back():
+    pats = [b"Sherlock Holmes"]
+    n = STAGED_L * 1024
+    hay = (b"Sherlock Holmes " * (n // 16))[:n]
+    st = StagedEngine(pats, False)
+    got = st.match_pairs(hay)
+    if got is not None:
+        pairs_eq(got, BitapEngine(pats, False).match_pairs(hay))
+
+
+def test_facade_find_iter_uses_staged_extraction(monkeypatch):
+    """find_iter through the facade must engage the staged extract path
+    for large haystacks and agree with the oracle."""
+    from ahocorasick_tpu import Input
+
+    import ahocorasick_tpu.ops.staged as sg
+
+    monkeypatch.setattr(sg, "STAGED_MIN", 1 << 16)
+    hay = make_hay(n=STAGED_L * 1024)
+    ac = AhoCorasick([p.decode() for p in PATS], device_threshold=1 << 16)
+    ref = AhoCorasick([p.decode() for p in PATS], engine="oracle")
+    got = [m.astuple() for m in ac.find_iter(Input(hay))]
+    want = [m.astuple() for m in ref.find_iter(Input(hay))]
+    assert got == want and len(got) > 0
+    assert ac._staged is not None and ac._staged._cap_s > 0
