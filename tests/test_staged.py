@@ -153,12 +153,17 @@ def test_staged_extraction_dense_overflow_falls_back():
 
 def test_facade_find_iter_uses_staged_extraction(monkeypatch):
     """find_iter through the facade must engage the staged extract path
-    for large haystacks and agree with the oracle."""
+    for large haystacks and agree with the oracle. (The fingerprint
+    fused extract outranks it in the routing, so it is disabled here to
+    exercise the staged fallback.)"""
     from ahocorasick_tpu import Input
 
+    import ahocorasick_tpu.ops.fingerprint as fpm
     import ahocorasick_tpu.ops.staged as sg
 
     monkeypatch.setattr(sg, "STAGED_MIN", 1 << 16)
+    monkeypatch.setattr(fpm.FingerprintEngine, "eligible",
+                        classmethod(lambda cls, *a, **k: False))
     hay = make_hay(n=STAGED_L * 1024)
     ac = AhoCorasick([p.decode() for p in PATS], device_threshold=1 << 16)
     ref = AhoCorasick([p.decode() for p in PATS], engine="oracle")
