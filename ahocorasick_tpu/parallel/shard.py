@@ -462,6 +462,158 @@ def sharded_fp_match_pairs(
     return eng.verif.verify(a, cand)
 
 
+def sharded_cascade_match_pairs(
+    eng,  # ops.cascade.CascadeEngine
+    haystack: bytes,
+    mesh: Optional[Mesh] = None,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Mesh-parallel cascade search: the very-large-dictionary engine
+    (10k-100k+ patterns) over a device mesh.
+
+    Unlike the bitap/fingerprint shards (backward halo: state warms up
+    over the previous shard's tail), cascade candidates anchor at the
+    COARSE PREFIX END — near the match *start* — and verification reads
+    up to W bytes forward. Each shard therefore carries a small backward
+    halo (kernel warmup) plus a W-byte FORWARD halo (its right
+    neighbor's head), owns the candidates whose prefix ends inside its
+    own region, and runs the full probe/expand/verify pipeline locally;
+    the host concatenates per-shard (pid, end) pairs (absolute offsets)
+    and sorts into report order. Returns None when hostile.
+
+    Long-side patterns (> W_CASCADE bytes) are searched with the
+    sharded bit-parallel path and merged in, mirroring the single-chip
+    engine.
+    """
+    from ..ops.bitap import LANES, _pow2, _to_stream_major
+    from ..ops import cascade as C
+    from ..ops import fingerprint as F
+
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.devices.size
+    n = len(haystack)
+    z = np.zeros(0, np.int64)
+    if n == 0:
+        return z, z
+    t = eng.tables
+    halo = eng.halo
+    W = t.W
+    shard = _round_up(-(-n // ndev), 4)
+    seg_bytes = halo + shard + _round_up(W, 4)
+    L, Lc, tiles = eng._layout(seg_bytes)
+    row_bytes = tiles * LANES * L
+    pad = eng.pad_byte or 0
+    rows = np.full((ndev, row_bytes), pad, dtype=np.uint8)
+    nn = np.zeros((ndev, 2), dtype=np.int32)   # kernel count window
+    nv = np.zeros((ndev, 1), dtype=np.int32)   # real bytes in buffer
+    buf = np.frombuffer(haystack, dtype=np.uint8)
+    for i in range(ndev):
+        g0 = i * shard
+        lo_ = max(0, g0 - halo)
+        hi_ = min(g0 + shard + W, n)
+        seg = buf[lo_:hi_]
+        off = halo - (g0 - lo_)
+        rows[i, off:off + len(seg)] = seg
+        nn[i, 0] = halo
+        nn[i, 1] = halo + max(0, min(n - g0, shard))
+        nv[i, 0] = off + len(seg)
+    rows32 = rows.view(np.int32)
+    dv = t.device_args()
+    mk = t.meta_key()
+    meta = dict(mk[1])
+    coarse_args = t.coarse.device_args()
+
+    def run_for_caps(cap_c: int, cap_e: int, cap_m: int):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(),
+                      P("d", None), P("d", None), P("d", None)),
+            out_specs=(P("d"), P("d"), P("d"),
+                       P("d", None), P("d", None)),
+            check_vma=False,
+        )
+        def run(lo, hi, sm, em, rows32, nn, nv):
+            x32 = rows32[0]
+            halo_a, body = _to_stream_major(x32, L, tiles, halo)
+            u8f = F._unpack_fold(x32, W, eng.ci)
+            kernel = F._make_fp_kernel(t.coarse.k, L, Lc, halo)
+            cnt, bmp = F._fp_pallas(
+                kernel, (lo, hi, sm, em, nn[0]), halo_a, body,
+                t.coarse.k, L, Lc, tiles, halo // 4,
+            )
+            ncand, e_pos, live = F._rank_select(bmp, L, cap_c)
+            wnd = F._gather_windows(u8f, e_pos, W)
+            ne, total, out_pid, out_end = C._probe_expand_verify(
+                e_pos, live, wnd, nv[0, 0], dv, meta, True,
+                cap_e, cap_m,
+            )
+            return (ncand[None], ne[None], total[None],
+                    out_pid[None], out_end[None])
+
+        return jax.jit(run)(
+            *coarse_args,
+            jax.device_put(rows32, NamedSharding(mesh, P("d", None))),
+            jax.device_put(nn, NamedSharding(mesh, P("d", None))),
+            jax.device_put(nv, NamedSharding(mesh, P("d", None))),
+        )
+
+    cand_lim, exp_lim = eng._limits(n)
+    cap_c = min(_pow2(max(seg_bytes // 4, 1024)), C.CAP0)
+    cap_e, cap_m = cap_c, max(cap_c // 2, 1024)
+    while True:
+        ncands, nes, totals, pids, ends = run_for_caps(cap_c, cap_e,
+                                                       cap_m)
+        ncands = np.asarray(ncands)
+        nes = np.asarray(nes)
+        totals = np.asarray(totals)
+        if (int(ncands.sum()) > cand_lim or int(nes.sum()) > exp_lim):
+            eng.hostile = True
+            return None
+        ok = True
+        if int(ncands.max()) > cap_c:
+            cap_c = _pow2(int(ncands.max()))
+            ok = False
+        if int(nes.max()) > cap_e:
+            cap_e = _pow2(int(nes.max()))
+            ok = False
+        if int(totals.max()) > cap_m:
+            cap_m = _pow2(int(totals.max()))
+            ok = False
+        if ok:
+            break
+    pids = np.asarray(pids).astype(np.int64)
+    ends = np.asarray(ends).astype(np.int64)
+    all_p, all_e = [], []
+    for i in range(ndev):
+        real = pids[i] >= 0
+        all_p.append(pids[i][real])
+        all_e.append(ends[i][real] + i * shard - halo)
+    pid = np.concatenate(all_p) if all_p else z
+    end = np.concatenate(all_e) if all_e else z
+    # Duplicate exact-class patterns: expand via the host map, exactly
+    # as the single-chip engine does.
+    dups = t.dups8
+    if dups:
+        extra_p, extra_e = [], []
+        for rep, group in dups.items():
+            at = np.flatnonzero(pid == rep)
+            if len(at):
+                extra_p.append(np.tile(group[1:], len(at)))
+                extra_e.append(np.repeat(end[at], len(group) - 1))
+        if extra_p:
+            pid = np.concatenate([pid] + extra_p)
+            end = np.concatenate([end] + extra_e)
+    pid = eng.main_pids[pid]
+    if eng.side is not None:
+        got = sharded_bitap_match_pairs(eng.side, haystack, mesh)
+        spids, sends = got
+        pid = np.concatenate([pid, eng.long_pids[spids]])
+        end = np.concatenate([end, sends])
+    order = np.lexsort((eng.pid_rank[pid], end))
+    return pid[order], end[order]
+
+
 class ShardedSearcher:
     """A facade adapter that computes match sets across a device mesh.
 

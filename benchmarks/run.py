@@ -153,6 +153,188 @@ def suite_dict1k():
          ref_bare_automaton_gbps_lo=0.34, ref_bare_automaton_gbps_hi=0.86)
 
 
+def suite_teddysweep():
+    """Teddy-sweep analog (benchmarks/definitions/teddy.toml): pattern
+    count x pattern length on the fingerprint engine's fused count."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ahocorasick_tpu.ops import fingerprint as F
+
+    rng = np.random.default_rng(21)
+    n = 1 << 25
+    hay = english_haystack(n)
+    base = bytes(rng.choice(list(b"abcdefghijklmnopqrstuvwxyz"),
+                            size=4096).astype(np.uint8))
+    for plen in (4, 8, 16):
+        for cnt in (2, 8, 16, 32, 64):
+            pats = sorted({base[i * 53:i * 53 + plen]
+                           for i in range(cnt)})
+            if not F.FingerprintEngine.eligible(pats):
+                emit(suite="teddysweep", patterns=cnt, plen=plen,
+                     eligible=False)
+                continue
+            eng = F.FingerprintEngine(pats, False)
+            if eng.dv is None:
+                emit(suite="teddysweep", patterns=cnt, plen=plen,
+                     device_verify=False)
+                continue
+            ph = eng.prepare(hay)
+            want = eng.count_matches(ph)
+            cap_c, _ = eng.last_caps
+            fn = F._fp_verified_jit(
+                eng.tables.baked_key(), eng.dv.key(), eng.tables.k,
+                ph.L, ph.Lc, eng.halo, ph.tiles, eng.dv.W, False)
+            dv_args = eng.dv.device_args()
+            n_dev = jnp.int32(ph.n)
+
+            @functools.partial(jax.jit, static_argnames=("reps",))
+            def chained(halo, body, u8f, reps, fn=fn, dv_args=dv_args,
+                        n_dev=n_dev, cap_c=cap_c):
+                acc = jnp.int32(0)
+                for _ in range(reps):
+                    _nc, total = fn(halo, body, u8f, n_dev, dv_args,
+                                    cap_c=cap_c)
+                    acc = acc + total
+                    body, acc = jax.lax.optimization_barrier((body, acc))
+                return acc
+
+            def t_at(reps, iters=3):
+                out = int(chained(ph.halo_a, ph.body, ph.u8f, reps))
+                assert out == want * reps
+                best = float("inf")
+                for _ in range(iters):
+                    t0 = time.perf_counter()
+                    int(chained(ph.halo_a, ph.body, ph.u8f, reps))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            per = (t_at(12) - t_at(4)) / 8
+            emit(suite="teddysweep", engine="fingerprint", patterns=cnt,
+                 plen=plen, limbs=eng.tables.k,
+                 buckets=eng.tables.num_buckets, bytes=n, matches=want,
+                 gbps=round(n / per / 1e9, 2))
+
+
+def suite_dict100k():
+    """100k-pattern dictionary on the cascade engine (the reference's
+    signature build shape, src/ahocorasick.rs:46-55; its dense DFA walks
+    this at ~0.8 GB/s single-core, dfa.rs:218-226)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_words, build_dict_text, NAME_SYLLABLES
+    from ahocorasick_tpu.ops.cascade import CascadeEngine, _cascade_jit
+    from ahocorasick_tpu import AhoCorasick
+
+    pats = build_words(100_000, 99, NAME_SYLLABLES, capitalize=0.3)
+    n = 1 << 26
+    hs = build_dict_text(n, pats)
+    eng = CascadeEngine(pats, True)
+    ac = AhoCorasick(pats, ascii_case_insensitive=True,
+                     device_threshold=1 << 62)
+    want = ac.count_matches(hs)
+    ph = eng.prepare(hs)
+    assert eng.count_matches(ph) == want
+    cap_c, cap_e, _ = eng.last_caps
+    t = eng.tables
+    dv = t.device_args()
+    n_dev = jnp.int32(ph.n)
+    fn = _cascade_jit(t.coarse.baked_key(), t.meta_key(), t.coarse.k,
+                      ph.L, ph.Lc, eng.halo, ph.tiles, False)
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chained(halo, body, u8f, reps):
+        acc = jnp.int32(0)
+        for _ in range(reps):
+            _nc, _ne, total = fn(halo, body, u8f, n_dev, dv,
+                                 cap_c=cap_c, cap_e=cap_e)
+            acc = acc + total
+            body, acc = jax.lax.optimization_barrier((body, acc))
+        return acc
+
+    def t_at(reps, iters=3):
+        out = int(chained(ph.halo_a, ph.body, ph.u8f, reps))
+        assert out == want * reps
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            int(chained(ph.halo_a, ph.body, ph.u8f, reps))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per = (t_at(12) - t_at(4)) / 8
+    emit(suite="dict100k", engine="cascade", patterns=len(pats),
+         case_insensitive=True, bytes=n, matches=want,
+         coarse_limbs=t.coarse.k, prefixes=t.num_prefixes,
+         gbps=round(n / per / 1e9, 2),
+         ref_bare_automaton_gbps_lo=0.34, ref_bare_automaton_gbps_hi=0.86)
+
+
+def suite_realcorpus():
+    """The reference's own corpora: sherlock.txt name-alt1/alt2 rows
+    (record/x86_64/2023-09-17.csv) and an opensubtitles haystack."""
+    import os
+
+    base = "/root/reference/benchmarks/haystacks"
+    if not os.path.exists(base):
+        emit(suite="realcorpus", skipped="no reference corpora mounted")
+        return
+    sher = open(f"{base}/sherlock.txt", "rb").read()
+    subs = open(f"{base}/opensubtitles/en-sampled.txt", "rb").read()
+    rows = [
+        ("name-alt1", [b"Sherlock", b"Street"], sher, 11.67),
+        ("name-alt2", [b"Sherlock", b"Holmes"], sher, 32.51),
+        ("subs-en-names", SHERLOCK, subs, None),
+    ]
+    from ahocorasick_tpu.ops import bitap as B
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    for name, pats, hay, ref_us in rows:
+        n = len(hay)
+        eng = B.BitapEngine(pats, False)
+        ph = eng.prepare(hay, baked=True)  # pinned corpus: baked kernel
+        want = eng.count_matches(ph)
+        fn = B._baked_jit(eng.tables.baked_key(), eng.tables.k, ph.L,
+                          ph.Lc, eng.halo, ph.tiles, False)
+
+        # Sub-100us scans need a dynamic fori_loop chain (one compile,
+        # thousands of reps) to rise above the tunnel dispatch jitter.
+        @jax.jit
+        def chained(halo, body, reps, fn=fn):
+            def it(_, carry):
+                body, acc = carry
+                acc = acc + fn(halo, body)
+                return jax.lax.optimization_barrier((body, acc))
+
+            _, acc = jax.lax.fori_loop(0, reps, it,
+                                       (body, jnp.int32(0)))
+            return acc
+
+        def t_at(reps, iters=5):
+            out = int(chained(ph.halo_a, ph.body, reps))
+            assert out == want * reps
+            best = float("inf")
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                int(chained(ph.halo_a, ph.body, reps))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        per = (t_at(4096) - t_at(256)) / (4096 - 256)
+        emit(suite="realcorpus", config=name, bytes=n, matches=want,
+             us_per_scan=round(per * 1e6, 2),
+             gbps=round(n / per / 1e9, 2),
+             ref_default_us=ref_us)
+
+
 def suite_build():
     from ahocorasick_tpu.automata.noncontiguous import compile_nfa
 
@@ -200,14 +382,21 @@ def suite_memory():
 SUITES = {
     "sherlock": suite_sherlock,
     "patsweep": suite_patsweep,
+    "teddysweep": suite_teddysweep,
     "same": suite_same,
     "dict1k": suite_dict1k,
+    "dict100k": suite_dict100k,
+    "realcorpus": suite_realcorpus,
     "build": suite_build,
     "memory": suite_memory,
 }
 
 
 if __name__ == "__main__":
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     which = sys.argv[1:] or list(SUITES)
     for name in which:
         log(f"== {name} ==")

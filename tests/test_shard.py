@@ -298,3 +298,55 @@ def test_sharded_match_pairs_slabbed(monkeypatch):
     )
     want = _oracle_pairs(ac, h)
     assert list(zip(pids.tolist(), ends.tolist())) == want
+
+
+def test_sharded_cascade_match_pairs():
+    """The very-large-dictionary cascade engine over the mesh: per-shard
+    coarse filter + local probe/expand/verify, forward-halo ownership
+    (candidates anchor at the coarse prefix END, near the match start)."""
+    import numpy as np
+
+    from ahocorasick_tpu.ops.cascade import CascadeEngine
+    from ahocorasick_tpu.parallel.shard import sharded_cascade_match_pairs
+
+    rng = np.random.default_rng(44)
+    syl = ("bar bel bor dan dar del dor fan far gar gor hal han har "
+           "kar kel kor lan lor mar mor nal nar").split()
+    pats = set()
+    while len(pats) < 400:
+        k = int(rng.integers(2, 5))
+        pats.add("".join(
+            syl[int(rng.integers(len(syl)))] for _ in range(k)
+        ).encode())
+    pats = sorted(pats)
+    filler = [w.encode() for w in "xu qo ki ve zam tup lyn".split()]
+    parts = []
+    for i in range(4000):
+        parts.append(pats[int(rng.integers(len(pats)))]
+                     if rng.random() < 0.02
+                     else filler[int(rng.integers(len(filler)))])
+    h = bytearray(b" ".join(parts)[:24000])
+    # Matches straddling every shard boundary for 8 shards (both a
+    # pattern crossing the edge and one whose coarse prefix ends just
+    # before it).
+    shard = -(-len(h) // 8)
+    for i in range(1, 8):
+        p = pats[(i * 31) % len(pats)]
+        pos = i * shard - len(p) // 2
+        h[pos:pos + len(p)] = p
+        p2 = pats[(i * 7) % len(pats)]
+        pos2 = max(0, i * shard - 2)
+        h[pos2:pos2 + len(p2)] = p2
+    h = bytes(h)
+    assert CascadeEngine.eligible(pats)
+    eng = CascadeEngine(pats, False)
+    got = sharded_cascade_match_pairs(eng, h, make_mesh(8))
+    assert got is not None
+    pids, ends = got
+    single = eng.match_pairs(h)
+    np.testing.assert_array_equal(pids, single[0])
+    np.testing.assert_array_equal(ends, single[1])
+    ac = AhoCorasick(pats)
+    want = _oracle_pairs(ac, h)
+    assert list(zip(pids.tolist(), ends.tolist())) == want
+    assert len(want) >= 14
