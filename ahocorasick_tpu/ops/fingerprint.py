@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import functools
 from collections import defaultdict
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -1040,7 +1040,13 @@ class FpHaystack:
 # real input exceeds ESC (the runtime analog of the reference declaring
 # a prefilter inert and re-routing, util/prefilter.rs:163-305 — but in
 # the opposite direction: spend more filter only when needed).
-PLAN_LEVELS = (12, 24, 48, K_MAX)
+# Level-0 starts CHEAP: the denser decollide=False packing lets the
+# planner spend many more limbs inside one budget, and the extra
+# selectivity is usually wasted (dict1k measured 7.9 GB/s at the K=7
+# plan vs 6.8 at the K=11 plan the 12-limb budget now reaches) — the
+# escalation ladder exists precisely so real candidate rates, not the
+# prior model, buy the finer plans.
+PLAN_LEVELS = (8, 12, 24, 48, K_MAX)
 ESC_FLOOR = 1 << 14
 ESC_SHIFT = 6  # escalate above ~1.6% candidate positions
 
@@ -1067,6 +1073,7 @@ class FingerprintEngine:
                 break
         assert self.level is not None, "caller must check eligibility"
         self.tables = self._tables(self.level)
+        self._caps: Dict[str, int] = {}
         self.verif = VerifyIndex(patterns, case_insensitive)
         self.dv: Optional[DeviceVerify] = None
         if DeviceVerify.supports(patterns) and self.pad_byte is not None:
@@ -1166,7 +1173,12 @@ class FingerprintEngine:
         esc = self._escalate_limit(n)
         dv_args = self.dv.device_args()
         n_dev = jnp.int32(n)
-        cap_c, cap_m = 8192, 8192
+        # Caps persist per engine instance (grown monotonically): once
+        # the first scan settles them, repeated searches run one
+        # dispatch — a match-dense input no longer pays 2-3 full scans
+        # on every call.
+        cap_c = max(self._caps.get("c", 0), 8192)
+        cap_m = max(self._caps.get("m", 0), 8192)
         nn = jnp.asarray([0, n], jnp.int32)
         while True:
             t = self.tables
@@ -1203,6 +1215,9 @@ class FingerprintEngine:
                 ok = False
             if ok:
                 break
+        self._caps["c"] = max(self._caps.get("c", 0), cap_c)
+        if extract:
+            self._caps["m"] = max(self._caps.get("m", 0), cap_m)
         self.last_caps = (cap_c, cap_m if extract else None)
         if not extract:
             return int(total)

@@ -54,17 +54,15 @@ def device_count_gbps(patterns, hay, r_lo=4, r_hi=16):
     import jax
     import jax.numpy as jnp
 
+    from bench import make_chained
     from ahocorasick_tpu.ops import bitap as B
 
     n = len(hay)
     eng = B.BitapEngine(patterns, False)
     ph = eng.prepare(hay)
     if ph.baked:
-        baked = B._baked_jit(eng.tables.baked_key(), eng.tables.k, ph.L,
-                             ph.Lc, eng.halo, ph.tiles, False)
-
-        def fn(h, b):
-            return baked(h, b)
+        fn = B._baked_jit(eng.tables.baked_key(), eng.tables.k, ph.L,
+                          ph.Lc, eng.halo, ph.tiles, False)
     else:
         lo, hi, sm, em = eng._args()
         nn = jnp.asarray([0, n], jnp.int32)
@@ -75,13 +73,7 @@ def device_count_gbps(patterns, hay, r_lo=4, r_hi=16):
                                  tiles=ph.tiles, extract=False)
             return t
 
-    @functools.partial(jax.jit, static_argnames=("reps",))
-    def chained(h, b, reps):
-        total = jnp.int32(0)
-        for _ in range(reps):
-            total = total + fn(h, b)
-            b, total = jax.lax.optimization_barrier((b, total))
-        return total
+    chained = make_chained(jax, jnp, fn, body_idx=1)
 
     def t_at(reps, iters=3):
         int(chained(ph.halo_a, ph.body, reps))
@@ -155,16 +147,20 @@ def suite_dict1k():
 
 def suite_teddysweep():
     """Teddy-sweep analog (benchmarks/definitions/teddy.toml): pattern
-    count x pattern length on the fingerprint engine's fused count."""
-    import functools
+    count x pattern length on the fingerprint engine's fused count.
 
+    Runs the table-GENERIC fused pipeline over a 1 MiB haystack so one
+    compile is shared by every sweep point with the same (K, logT, W)
+    shape — the per-pattern-set baked kernels would cost one multi-
+    minute tunnel compile per point."""
     import jax
     import jax.numpy as jnp
 
+    from bench import make_chained
     from ahocorasick_tpu.ops import fingerprint as F
 
     rng = np.random.default_rng(21)
-    n = 1 << 25
+    n = 1 << 19  # below FP_BAKED_MIN: the generic kernel serves
     hay = english_haystack(n)
     base = bytes(rng.choice(list(b"abcdefghijklmnopqrstuvwxyz"),
                             size=4096).astype(np.uint8))
@@ -182,26 +178,26 @@ def suite_teddysweep():
                      device_verify=False)
                 continue
             ph = eng.prepare(hay)
+            assert not ph.baked and ph.u8f is not None
             want = eng.count_matches(ph)
             cap_c, _ = eng.last_caps
-            fn = F._fp_verified_jit(
-                eng.tables.baked_key(), eng.dv.key(), eng.tables.k,
-                ph.L, ph.Lc, eng.halo, ph.tiles, eng.dv.W, False)
+            fn = F._fp_verified_generic_jit(
+                eng.dv.key(), eng.tables.k, ph.L, ph.Lc, eng.halo,
+                ph.tiles, eng.dv.W, False)
             dv_args = eng.dv.device_args()
+            args = eng._args()
+            nn = jnp.asarray([0, ph.n], jnp.int32)
             n_dev = jnp.int32(ph.n)
 
-            @functools.partial(jax.jit, static_argnames=("reps",))
-            def chained(halo, body, u8f, reps, fn=fn, dv_args=dv_args,
-                        n_dev=n_dev, cap_c=cap_c):
-                acc = jnp.int32(0)
-                for _ in range(reps):
-                    _nc, total = fn(halo, body, u8f, n_dev, dv_args,
-                                    cap_c=cap_c)
-                    acc = acc + total
-                    body, acc = jax.lax.optimization_barrier((body, acc))
-                return acc
+            chained = make_chained(
+                jax, jnp, lambda halo, body, u8f, fn=fn,
+                dv_args=dv_args, args=args, nn=nn, n_dev=n_dev,
+                cap_c=cap_c:
+                fn(*args, nn, halo, body, u8f, n_dev, dv_args,
+                   cap_c=cap_c)[1],
+                body_idx=1)
 
-            def t_at(reps, iters=3):
+            def t_at(reps, iters=4):
                 out = int(chained(ph.halo_a, ph.body, ph.u8f, reps))
                 assert out == want * reps
                 best = float("inf")
@@ -211,7 +207,7 @@ def suite_teddysweep():
                     best = min(best, time.perf_counter() - t0)
                 return best
 
-            per = (t_at(12) - t_at(4)) / 8
+            per = (t_at(2048) - t_at(256)) / (2048 - 256)
             emit(suite="teddysweep", engine="fingerprint", patterns=cnt,
                  plen=plen, limbs=eng.tables.k,
                  buckets=eng.tables.num_buckets, bytes=n, matches=want,
@@ -246,16 +242,12 @@ def suite_dict100k():
     n_dev = jnp.int32(ph.n)
     fn = _cascade_jit(t.coarse.baked_key(), t.meta_key(), t.coarse.k,
                       ph.L, ph.Lc, eng.halo, ph.tiles, False)
+    from bench import make_chained
 
-    @functools.partial(jax.jit, static_argnames=("reps",))
-    def chained(halo, body, u8f, reps):
-        acc = jnp.int32(0)
-        for _ in range(reps):
-            _nc, _ne, total = fn(halo, body, u8f, n_dev, dv,
-                                 cap_c=cap_c, cap_e=cap_e)
-            acc = acc + total
-            body, acc = jax.lax.optimization_barrier((body, acc))
-        return acc
+    chained = make_chained(
+        jax, jnp, lambda halo, body, u8f:
+        fn(halo, body, u8f, n_dev, dv, cap_c=cap_c, cap_e=cap_e)[2],
+        body_idx=1)
 
     def t_at(reps, iters=3):
         out = int(chained(ph.halo_a, ph.body, ph.u8f, reps))
