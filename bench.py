@@ -12,6 +12,19 @@ reference's prefilter-accelerated default engine, which is what its
 Reference baselines (BASELINE.md): same query, forced dense DFA
 ~0.86 GB/s; prefilter default ~51 GB/s (x86_64).
 
+Further rows cover the full production surface: extraction (the
+reference's headline IS find_iter — fingerprint fused extract with TPU
+triple-parity asserted against host enumeration), the dict1k and
+dict100k dictionary configs (fingerprint / cascade engines, parity vs
+the native C++ walk), and the reference's actual corpus+patterns
+(name-alt1 over sherlock.txt, us/scan comparable to its recorded
+11.67 us median).
+
+Measured ceiling note (v5e): the exact kernel is VPU-ALU-bound at
+~(0.57 + 0.24K) ms per 64 MiB scan, so staging buys only ~4% on counts
+at K=3; its lever pays on extraction and on large dictionaries instead
+(see ARCHITECTURE.md).
+
 Methodology: this environment reaches the TPU through a tunnel with
 ~25-60 ms per-dispatch latency, so single-call timing measures the tunnel,
 not the chip. We chain R invocations inside one jit (separated by
