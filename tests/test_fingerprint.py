@@ -215,3 +215,18 @@ def test_verify_index_direct():
     # hello ends at 7; helloworld, world, ld all end at 12.
     got = sorted(zip(pids.tolist(), ends.tolist()))
     assert got == [(0, 7), (2, 12), (3, 12), (4, 12)]
+
+
+def test_plan_ladder_starts_cheap_dict1k():
+    """Level-0 plans must stay lean: the dict1k-shaped workload measured
+    7.9 GB/s at K=7 but only 6.8 at the K=11 plan a 12-limb budget
+    reaches with dense chain packing — the ladder, not the prior model,
+    buys extra selectivity (PLAN_LEVELS comment)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from bench import build_dictionary
+
+    eng = FingerprintEngine(build_dictionary(), True)
+    assert eng.level == 0
+    assert eng.tables.k <= 8, (eng.tables.k, eng.tables.num_buckets)
