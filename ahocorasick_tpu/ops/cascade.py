@@ -61,7 +61,7 @@ import numpy as np
 
 from ..utils import log
 from .bitap import LANES, _pow2, _to_stream_major
-from .compaction import select_nonzero_words
+
 from .fingerprint import (
     FP_LEN,
     FingerprintTables,
@@ -440,7 +440,11 @@ def _probe_expand_verify(e_pos, live, wnd, n, dv, meta,
     okc = jnp.concatenate(ok_parts).astype(jnp.int32)
     pidc = jnp.concatenate(pid_parts)
     endc = jnp.concatenate(end_parts)
-    _, mi, _, mlive = select_nonzero_words(okc, cap_m)
+    # Select the set flags with the same scatter + running-max pass as
+    # the CSR expansion (counts are 0/1 so gid IS the flag index) —
+    # profiled cheaper than the per-rank two-level select at these
+    # sizes.
+    _, mi, _, mlive = _expand_gid(okc, cap_m)
     out_pid = jnp.where(mlive, jnp.take(pidc, mi), -1)
     out_end = jnp.where(mlive, jnp.take(endc, mi), -1)
     return total_e, total, out_pid, out_end
