@@ -77,6 +77,42 @@ def _pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
+def _round_tiles(need: int) -> int:
+    """Round a tile count up to <= 4 significant bits.
+
+    Pallas grids are static, so every distinct tile count is a separate
+    compile; pure power-of-two rounding bounded that diversity but cost
+    up to 2x padding (the reference's own headline haystack, 595 KB,
+    padded to 1 MiB and measured 12.4 us where ~8 us is the real scan).
+    A 4-bit mantissa keeps padding waste under 1/8 with at most eight
+    cached compiles per octave."""
+    need = max(int(need), 1)
+    if need <= 8:
+        return need
+    step = 1 << (need.bit_length() - 4)
+    return -(-need // step) * step
+
+
+def _layout_search(n: int, H: int, l_floor: int = 128,
+                   l_cap: int = 2048) -> Tuple[int, int]:
+    """(L, tiles) minimizing padded scan cost for an n-byte haystack.
+
+    Cost model: every stream scans H halo bytes + L body bytes, so the
+    total work is tiles * LANES * (L + H); small L trims pow2 padding
+    (tiles need not be a power of two) while large L amortizes the halo
+    warmup — 64 MiB still picks L=2048 (0.4% halo), 595 KB picks L=128
+    x 5 tiles (10% padding instead of 76%)."""
+    best = None
+    L = _pow2(max(l_floor, H, 4))
+    while L <= max(l_cap, _pow2(max(l_floor, H, 4))):
+        tiles = _round_tiles(-(-n // (LANES * L)))
+        cost = tiles * LANES * (L + H)
+        if best is None or cost < best[0]:
+            best = (cost, L, tiles)
+        L *= 2
+    return best[1], best[2]
+
+
 def pack_chains(lens: List[int],
                 decollide: bool = True) -> Tuple[List[int], int]:
     """Bin-pack chains into limbs so no chain crosses a 32-bit boundary.
@@ -685,16 +721,17 @@ class BitapEngine:
 
     # ------------------------------------------------------------------
     def _layout(self, n: int) -> Tuple[int, int, int]:
-        """(L, Lc, tiles) for an n-byte haystack; all power-of-two bucketed
-        so compiled kernels are shared across calls."""
+        """(L, Lc, tiles) for an n-byte haystack, bucketed (pow2 L,
+        <=3-significant-bit tiles) so compiled kernels are shared across
+        calls while padding waste stays under 1/8 (see _layout_search)."""
         H = self.halo
-        if n <= LANES * 4:
-            L = max(H, 4)
-        else:
-            L = max(H, min(2048, _pow2(-(-n // LANES))))
-        tiles = max(1, _pow2(-(-n // (LANES * L))))
-        Lc = min(L, 512)
-        return L, Lc, tiles
+        base = _pow2(-(-n // LANES))
+        if base < 128:
+            # Sub-128K haystacks fit one tile with a sub-128 L.
+            L = max(H, base, 4)
+            return L, min(L, 512), 1
+        L, tiles = _layout_search(n, H)
+        return L, min(L, 512), tiles
 
     def _pack(self, hs: bytes, L: int, tiles: int,
               pad: int = 0) -> jax.Array:

@@ -8,11 +8,16 @@ which it runs on its bare automaton at ~0.8 GB/s, dfa.rs:218-226). This
 engine splits the discrimination across three device stages, each built
 from ops a TPU is fast at:
 
-  1. *Coarse prefix filter.* All patterns' Q-byte prefixes (Q = 4, or
-     shorter for short patterns) are DEDUPLICATED — a 100k-name
-     dictionary typically has only a few thousand distinct 4-byte
-     prefixes — and the deduped prefix set is bucketed by the existing
-     selectivity-modeled planner (plan_buckets) into a small limb budget.
+  1. *Coarse prefix filter.* All patterns' Q-byte prefixes are
+     DEDUPLICATED — a 100k-name dictionary typically has only a few
+     thousand distinct prefixes — and the deduped prefix set is
+     bucketed by the existing selectivity-modeled planner
+     (plan_buckets, exact-length chains) into a small limb budget.
+     Q adapts to the dictionary: min(8, shortest pattern), floor 4 —
+     length-stratified sets (the reference's real 43k-word length-10
+     dictionary) hit 10.2% of English-text positions with 4-byte
+     prefixes (filter-hostile) but only 0.86% with 8-byte ones, at the
+     same limb budget.
      The existing bitmap kernel runs unchanged (ops/fingerprint.py): one
      output bit per haystack position means "some deduped prefix chain
      ends here". Kernel cost is ~0.25 ms per limb per 64 MiB, so the
@@ -76,7 +81,12 @@ from .fingerprint import (
     strong_pad_byte,
 )
 
-Q_COARSE = 4            # coarse dedup prefix bytes (min(Q, len) per pattern)
+Q_COARSE = 4            # MINIMUM coarse prefix bytes (min(Q, len) per pattern).
+# The engine's actual Q adapts upward to min(8, shortest main pattern):
+# length-stratified dictionaries (the reference's real length-10 set,
+# 43k patterns) have a 10.2% 4-byte-prefix hit rate on English text
+# (hostile) but only 0.86% at 8 bytes — the longer coarse chains cost
+# the same limb budget and make real-text workloads filterable.
 W_CASCADE = 64          # max pattern length handled on-device
 LONG = 0                # class id for patterns longer than KEY_LEN bytes
 KEY_LEN = 8             # exact-key bytes (two int32 words)
@@ -91,9 +101,15 @@ CAND_FLOOR = 1 << 16
 CAP0 = 1 << 14
 
 
-def _qlen(c: int) -> int:
+def _qlen(c: int, q: int = Q_COARSE) -> int:
     """Coarse prefix length contributed by a pattern of length c."""
-    return min(Q_COARSE, c)
+    return min(q, c)
+
+
+def _q_of(main_lens) -> int:
+    """The engine's coarse prefix length: as long as every main
+    pattern supports (capped at KEY_LEN), never below Q_COARSE."""
+    return min(KEY_LEN, max(Q_COARSE, min(main_lens)))
 
 
 def _build_cuckoo64(lo: np.ndarray, hi: np.ndarray, rng):
@@ -202,22 +218,25 @@ class CascadeTables:
     records for the main (<= W_CASCADE) pattern set."""
 
     def __init__(self, patterns: List[bytes], case_insensitive: bool,
-                 k_budget: int):
+                 k_budget: int, q: int = Q_COARSE):
         self.ci = case_insensitive
+        self.q = q
         folded = [_fold(p) if case_insensitive else p for p in patterns]
         self.folded = folded
         P = len(patterns)
         plens = np.array([len(p) for p in patterns], np.int64)
         self.plens = plens
-        # Coarse: dedup min(Q, len)-byte prefixes (on folded bytes so
+        # Coarse: dedup min(q, len)-byte prefixes (on folded bytes so
         # case pairs dedup together), then plan + mask them with the
         # existing machinery WITH the engine's case flag: the kernel
         # sees raw haystack bytes, so the charmasks must cover both
         # case variants (folding then re-expanding is exact for ASCII).
-        prefixes = sorted({p[:_qlen(len(p))] for p in folded})
+        # exact_classes: a q-byte prefix must contribute a chain of
+        # exactly q bytes (probe geometry anchors at its end position).
+        prefixes = sorted({p[:_qlen(len(p), q)] for p in folded})
         self.num_prefixes = len(prefixes)
         self.coarse = FingerprintTables(prefixes, case_insensitive,
-                                        k_budget)
+                                        k_budget, exact_classes=True)
         # Classes: one exact-key table per distinct length <= KEY_LEN,
         # one LONG table for everything longer (keyed by first 8 bytes).
         rng = np.random.default_rng(0xCA5)
@@ -246,13 +265,19 @@ class CascadeTables:
         # built over all main pids for direct indexing): word-packed
         # pattern bytes at the window-aligned column, care masks, and
         # length — one [2*Ww+1]-int32 row gather per compare row.
-        # LONG patterns anchor at window column FP_LEN - 4 = 4; the key
-        # covers columns 4..11 (= words 1..2), so tail verify starts at
-        # word TAIL_W0 = 3.
+        # LONG patterns anchor at window column FP_LEN - q; the 8-byte
+        # key covers columns FP_LEN - q .. FP_LEN - q + 7, so tail
+        # verify starts at word tail_w0 (computed below).
         max_long = int(plens.max()) if long_t is not None else 1
         self.W = -(-int(FP_LEN - 1 + max(max_long, KEY_LEN + 1)) // 8) * 8
         self.Ww = self.W // 4
-        pcol = FP_LEN - Q_COARSE
+        # LONG patterns anchor where their q-byte coarse prefix starts.
+        pcol = FP_LEN - q
+        # First tail-verify word: everything before column
+        # pcol + KEY_LEN is proven by the 8-byte key (word-rounded DOWN;
+        # re-comparing key bytes inside a shared word is harmless
+        # because the masks cover them too).
+        self.tail_w0 = (pcol + KEY_LEN) // 4
         pmat = np.zeros((P, self.W), np.uint8)
         pmask = np.zeros((P, self.W), np.uint8)
         long_pids = np.flatnonzero(plens > KEY_LEN)
@@ -287,6 +312,7 @@ class CascadeTables:
         """Static shape identity of the verify stages for jit caching."""
         return (
             self.W,
+            self.q,
             tuple(sorted(
                 (c, t.logT) for c, t in self.classes.items()
             )),
@@ -310,14 +336,14 @@ class CascadeTables:
 # ---------------------------------------------------------------------------
 # Fused device pipeline
 # ---------------------------------------------------------------------------
-def _class_key(wnd, c: int):
+def _class_key(wnd, c: int, Q: int):
     """(lo, hi) int32 key words of the class-c window slice.
 
     The window is anchored at e_pos - (FP_LEN - 1); a class-c pattern
-    (coarse prefix q = min(4, c)) starts at column FP_LEN - q, so its
+    (coarse prefix q = min(Q, c)) starts at column FP_LEN - q, so its
     key bytes occupy columns FP_LEN - q .. FP_LEN - q + min(c, 8) - 1.
     """
-    q = _qlen(c) if c != LONG else Q_COARSE
+    q = _qlen(c, Q) if c != LONG else Q
     kb = min(c, KEY_LEN) if c != LONG else KEY_LEN
     col0 = FP_LEN - q
     lo = jnp.zeros(wnd.shape[0], jnp.int32)
@@ -329,7 +355,7 @@ def _class_key(wnd, c: int):
     return lo, hi
 
 
-def _probe(dv, meta, c: int, wnd, e_pos, live, n):
+def _probe(dv, meta, c: int, wnd, e_pos, live, n, Q: int):
     """One class probe: 2 record row gathers + key compares.
 
     Returns (hit, rec, sp) where rec is the winning [cap_c, 4] record
@@ -337,8 +363,8 @@ def _probe(dv, meta, c: int, wnd, e_pos, live, n):
     mults, trec = dv["classes"][c]
     a1, a2, b1, b2 = mults
     logT = meta[c]
-    lo, hi = _class_key(wnd, c)
-    q = _qlen(c) if c != LONG else Q_COARSE
+    lo, hi = _class_key(wnd, c, Q)
+    q = _qlen(c, Q) if c != LONG else Q
     kb = min(c, KEY_LEN) if c != LONG else KEY_LEN
     sp = e_pos - (q - 1)
     ulo = lo.astype(jnp.uint32)
@@ -391,11 +417,9 @@ def _pack_words(wnd):
             | (w[:, :, 3] << 24))
 
 
-TAIL_W0 = 3  # first verify word: words 0..2 = cols 0..11 (key-covered)
-
-
 def _probe_expand_verify(e_pos, live, wnd, n, dv, meta,
-                         extract: bool, cap_e: int, cap_m: int):
+                         extract: bool, cap_e: int, cap_m: int,
+                         Q: int, tail_w0: int):
     """Stages 2+3 over gathered windows.
 
     Returns (long_expanded, total[, out_pid, out_end])."""
@@ -404,7 +428,7 @@ def _probe_expand_verify(e_pos, live, wnd, n, dv, meta,
     ok_parts, pid_parts, end_parts = [], [], []
     long_hit = None
     for c in sorted(k for k in meta if k != LONG):
-        hit, rec, sp = _probe(dv, meta, c, wnd, e_pos, live, n)
+        hit, rec, sp = _probe(dv, meta, c, wnd, e_pos, live, n, Q)
         total = total + jnp.sum(jnp.where(hit, rec[:, 3], 0))
         if extract:
             ok_parts.append(hit)
@@ -412,7 +436,7 @@ def _probe_expand_verify(e_pos, live, wnd, n, dv, meta,
             end_parts.append(sp + c)
     total_e = jnp.int32(0)
     if LONG in meta:
-        hit, rec, sp = _probe(dv, meta, LONG, wnd, e_pos, live, n)
+        hit, rec, sp = _probe(dv, meta, LONG, wnd, e_pos, live, n, Q)
         counts = jnp.where(hit, rec[:, 3], 0)
         grec = jnp.stack([rec[:, 2], sp], axis=1)        # [cap_c, 2]
         total_e, gid, resid, live_e = _expand_gid(counts, cap_e)
@@ -427,7 +451,7 @@ def _probe_expand_verify(e_pos, live, wnd, n, dv, meta,
         pm = pvrow[:, Ww:2 * Ww]
         plen = pvrow[:, 2 * Ww]
         eq = jnp.ones(cap_e, bool)
-        for w in range(TAIL_W0, Ww):
+        for w in range(tail_w0, Ww):
             eq = eq & ((wrow[:, w] & pm[:, w]) == pw[:, w])
         ok = live_e & eq & (sp_e >= 0) & (sp_e + plen <= n)
         total = total + jnp.sum(ok.astype(jnp.int32))
@@ -458,8 +482,9 @@ def _cascade_jit(coarse_key, meta_key, K: int, L: int, Lc: int, H: int,
     dispatch; only scalars (count) or O(#matches) pairs (extract) leave
     the device."""
     kernel = _make_fp_baked_kernel(*coarse_key, K, Lc, H)
-    W, cls = meta_key
+    W, q, cls = meta_key
     meta = dict(cls)
+    tail_w0 = (FP_LEN - q + KEY_LEN) // 4
 
     def fn(halo, body, u8f, n, dv, cap_c, cap_e, cap_m=None):
         cnt, bmp = _fp_pallas(kernel, None, halo, body,
@@ -467,7 +492,7 @@ def _cascade_jit(coarse_key, meta_key, K: int, L: int, Lc: int, H: int,
         ncand, e_pos, live = _rank_select(bmp, L, cap_c)
         wnd = _gather_windows(u8f, e_pos, W)
         out = _probe_expand_verify(e_pos, live, wnd, n, dv, meta,
-                                   extract, cap_e, cap_m)
+                                   extract, cap_e, cap_m, q, tail_w0)
         return (ncand,) + out
 
     static = ("cap_c", "cap_e", "cap_m") if extract else ("cap_c", "cap_e")
@@ -480,8 +505,9 @@ def _cascade_generic_jit(meta_key, K: int, L: int, Lc: int, H: int,
     """Table-generic variant (coarse masks in SMEM, position-masked):
     one compile serves every pattern set with the same shapes — used for
     small inputs and pattern sets without a strong pad byte."""
-    W, cls = meta_key
+    W, q, cls = meta_key
     meta = dict(cls)
+    tail_w0 = (FP_LEN - q + KEY_LEN) // 4
 
     def fn(lo, hi, sm, em, nn, halo, body, u8f, n, dv,
            cap_c, cap_e, cap_m=None):
@@ -491,7 +517,7 @@ def _cascade_generic_jit(meta_key, K: int, L: int, Lc: int, H: int,
         ncand, e_pos, live = _rank_select(bmp, L, cap_c)
         wnd = _gather_windows(u8f, e_pos, W)
         out = _probe_expand_verify(e_pos, live, wnd, n, dv, meta,
-                                   extract, cap_e, cap_m)
+                                   extract, cap_e, cap_m, q, tail_w0)
         return (ncand,) + out
 
     static = ("cap_c", "cap_e", "cap_m") if extract else ("cap_c", "cap_e")
@@ -549,6 +575,7 @@ class CascadeEngine:
                 [patterns[i] for i in self.long_pids], case_insensitive
             )
         self.pad_byte = strong_pad_byte(patterns, case_insensitive)
+        self.q = _q_of([len(p) for p in self._main_pats])
         self._tables_cache: Dict[int, Optional[CascadeTables]] = {}
         self.level: Optional[int] = None
         for i in range(len(CASCADE_LEVELS)):
@@ -562,8 +589,8 @@ class CascadeEngine:
         self._caps: Dict[str, int] = {}
         log.debug(
             "cascade engine: %d patterns (%d long-side), %d deduped "
-            "prefixes, K=%d, W=%d, classes=%s",
-            P, len(self.long_pids), self.tables.num_prefixes,
+            "q=%d prefixes, K=%d, W=%d, classes=%s",
+            P, len(self.long_pids), self.tables.num_prefixes, self.q,
             self.tables.coarse.k, self.tables.W,
             sorted(self.tables.classes),
         )
@@ -583,20 +610,23 @@ class CascadeEngine:
             if not BitapEngine.eligible(longs):
                 return False
         folded = [_fold(p) if case_insensitive else p for p in main]
-        prefixes = sorted({p[:_qlen(len(p))] for p in folded})
+        q = _q_of([len(p) for p in main])
+        prefixes = sorted({p[:_qlen(len(p), q)] for p in folded})
         return plan_buckets(prefixes, case_insensitive,
-                            CASCADE_LEVELS[-1]) is not None
+                            CASCADE_LEVELS[-1],
+                            exact_classes=True) is not None
 
     def _tables(self, lvl: int) -> Optional[CascadeTables]:
         if lvl not in self._tables_cache:
             folded = [_fold(p) if self.ci else p for p in self._main_pats]
-            prefixes = sorted({p[:_qlen(len(p))] for p in folded})
-            if plan_buckets(prefixes, self.ci,
-                            CASCADE_LEVELS[lvl]) is None:
+            prefixes = sorted({p[:_qlen(len(p), self.q)] for p in folded})
+            if plan_buckets(prefixes, self.ci, CASCADE_LEVELS[lvl],
+                            exact_classes=True) is None:
                 self._tables_cache[lvl] = None
             else:
                 self._tables_cache[lvl] = CascadeTables(
-                    self._main_pats, self.ci, CASCADE_LEVELS[lvl]
+                    self._main_pats, self.ci, CASCADE_LEVELS[lvl],
+                    self.q,
                 )
         return self._tables_cache[lvl]
 
@@ -611,8 +641,9 @@ class CascadeEngine:
 
     # ------------------------------------------------------------------
     def _layout(self, n: int) -> Tuple[int, int, int]:
-        L = max(self.halo, 128, min(2048, _pow2(-(-n // LANES))))
-        tiles = max(1, _pow2(-(-n // (LANES * L))))
+        from .bitap import _layout_search
+
+        L, tiles = _layout_search(n, self.halo)
         return L, min(L, 512), tiles
 
     def memory_usage(self) -> int:

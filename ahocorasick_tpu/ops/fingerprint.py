@@ -132,10 +132,11 @@ class FingerprintTables:
     table format, plus the bucket plan used to pick K."""
 
     def __init__(self, patterns: List[bytes], case_insensitive: bool,
-                 k_budget: int = K_MAX):
+                 k_budget: int = K_MAX, exact_classes: bool = False):
         assert patterns and all(len(p) > 0 for p in patterns)
         self.case_insensitive = case_insensitive
-        plan = plan_buckets(patterns, case_insensitive, k_budget)
+        plan = plan_buckets(patterns, case_insensitive, k_budget,
+                            exact_classes)
         assert plan is not None, "caller must check eligibility"
         buckets, offsets, K = plan
         self.num_buckets = len(buckets)
@@ -196,6 +197,15 @@ class FingerprintTables:
 # alphabet. The planner keeps the estimated per-position candidate
 # probability under CAND_BUDGET.
 CAND_BUDGET = 0.003
+# A plan whose FINEST affordable bucketing still passes more than this
+# fraction of modeled positions is declared structurally filter-hostile
+# (None): every candidate costs gather+probe work downstream, so a
+# saturated filter would run BELOW the plain host walk. This is the
+# measured boundary for the reference's full 123k-word English
+# dictionary (18,038 distinct coarse prefixes, 1.31 true matches per
+# byte on opensubtitles en-sampled — 74% of them from its 52
+# single-character words), where no 2048-bit mask budget discriminates.
+SATURATION = 0.5
 
 
 def _model_alphabet(folded) -> np.ndarray:
@@ -235,11 +245,14 @@ def _class_prob(folded, pids_sorted, m, b, case_insensitive,
 
 
 def plan_buckets(patterns: List[bytes], case_insensitive: bool,
-                 k_budget: int = K_MAX):
+                 k_budget: int = K_MAX, exact_classes: bool = False):
     """Group patterns into fingerprint buckets and pack their chains.
 
     Returns (buckets, offsets, K) with buckets = [(chain_len, [pid])],
-    or None when no bucketing fits the k_budget limb budget. Patterns
+    or None when every bucketing that fits the k_budget limb budget is
+    modeled filter-saturated (SATURATION) — fit itself is always
+    reachable by coarsening, so None now means "structurally hostile",
+    not "too many patterns". Patterns
     are grouped by chain length class m (see _mclass) and sorted
     (folded) so bucket members share prefixes; per-class bucket sizes
     start coarse (cheapest kernel) and halve greedily — worst
@@ -254,8 +267,14 @@ def plan_buckets(patterns: List[bytes], case_insensitive: bool,
     folded = [_fold(p) if case_insensitive else p for p in patterns]
     classes = {}
     grouped = defaultdict(list)
+    # exact_classes: chain length = full pattern length (the cascade's
+    # coarse prefixes NEED end-position alignment at exactly len(p)-1;
+    # _mclass would truncate a 6-byte prefix chain to 4 bytes and break
+    # the probe geometry). The fingerprint engine keeps _mclass so its
+    # verify probes stay at <= 2 tables per candidate.
     for pid, p in enumerate(folded):
-        grouped[_mclass(len(p))].append(pid)
+        m = len(p) if exact_classes else _mclass(len(p))
+        grouped[m].append(pid)
     for m, pids in grouped.items():
         classes[m] = sorted(pids, key=lambda i: folded[i][:m])
 
@@ -268,8 +287,20 @@ def plan_buckets(patterns: List[bytes], case_insensitive: bool,
             lens += [m] * nb
         return pack_chains(lens, decollide=False)[1]
 
-    if k_of(bsize) > k_budget:
-        return None
+    # Coarsen until the limb budget fits: prefix-diverse sets (the
+    # reference's real dictionaries run to 18k+ distinct 4-byte
+    # prefixes) start over budget at bucket size 64, so the planner
+    # doubles the heaviest class's bucket size until the chains pack —
+    # the exact probes downstream absorb the extra false positives, and
+    # the SATURATION test below rejects plans too coarse to be filters.
+    while k_of(bsize) > k_budget:
+        cands = [m for m in classes if bsize[m] < len(classes[m])]
+        if not cands:
+            return None
+        m = max(
+            cands, key=lambda m: -(-len(classes[m]) // bsize[m]) * m
+        )
+        bsize[m] *= 2
     alphabet = _model_alphabet(folded)
     probs = {
         m: _class_prob(folded, classes[m], m, bsize[m], case_insensitive,
@@ -292,6 +323,8 @@ def plan_buckets(patterns: List[bytes], case_insensitive: bool,
                 break
         else:
             break  # budget exhausted: best effort, hostile guard covers
+    if sum(probs.values()) > SATURATION:
+        return None  # structurally filter-hostile (see SATURATION)
     buckets = []
     for m in sorted(classes):
         pids = classes[m]
@@ -626,7 +659,17 @@ class DeviceVerify:
     def __init__(self, patterns: List[bytes], case_insensitive: bool):
         assert self.supports(patterns)
         folded = [_fold(p) if case_insensitive else p for p in patterns]
-        self.W = max(FP_LEN, max(len(p) for p in patterns))
+        # A class-c pattern occupies window columns [FP_LEN - c,
+        # FP_LEN - c + len): a length-6 pattern in class 4 reaches col 9,
+        # so the window must cover FP_LEN - c + len, NOT just len —
+        # max(FP_LEN, max_len) silently truncated the tail compare of
+        # length 5-7 patterns whenever no longer pattern stretched the
+        # window (caught on the reference's own name-alt1 set, where
+        # "Street" matched "Streatham": cols 8-9 were never compared).
+        self.W = max(
+            FP_LEN,
+            max(FP_LEN - _mclass(len(p)) + len(p) for p in patterns),
+        )
         W = self.W
         plens = np.array([len(p) for p in patterns], np.int64)
         self.plens = plens
@@ -1121,10 +1164,12 @@ class FingerprintEngine:
 
     # ------------------------------------------------------------------
     def _layout(self, n: int) -> Tuple[int, int, int]:
-        """Power-of-two (L, Lc, tiles); L >= 128 so the bitmap flush
-        cadence (32 positions) always divides a chunk."""
-        L = max(self.halo, 128, min(2048, _pow2(-(-n // LANES))))
-        tiles = max(1, _pow2(-(-n // (LANES * L))))
+        """Bucketed (L, Lc, tiles); L >= 128 (pow2) so the bitmap flush
+        cadence (32 positions) always divides a chunk, tiles rounded to
+        <=4 significant bits (bitap._layout_search) to trim padding."""
+        from .bitap import _layout_search
+
+        L, tiles = _layout_search(n, self.halo)
         return L, min(L, 512), tiles
 
     def _pack(self, hs: bytes, L: int, tiles: int, pad: int) -> jax.Array:

@@ -30,8 +30,11 @@ facade only routes large counts here, and the expected case —
 match-sparse scans, the reference's own headline regime — runs at
 roughly (1/Kf) : (K * hit_rate) of the full-kernel cost.
 
-Count mode only: extraction already pays for per-position outputs, so
-staging buys little there.
+Extraction rides the same two stages (`_staged_extract_jit` /
+`StagedEngine.match_pairs`): end-bit words are written for flagged
+candidate streams only, so match-sparse extraction runs at ~count cost
+instead of paying n * Ke * 4 bytes of HBM like the single-pass extract
+kernel.
 """
 
 from __future__ import annotations
@@ -459,8 +462,10 @@ class StagedEngine:
         return tables.pad_byte is not None
 
     def _layout(self, n: int) -> Tuple[int, int, int]:
+        from .bitap import _round_tiles
+
         L = max(self.halo, STAGED_L)
-        tiles = max(1, _pow2(-(-n // (LANES * L))))
+        tiles = max(1, _round_tiles(-(-n // (LANES * L))))
         Lc = min(L, 512)
         return L, Lc, tiles
 

@@ -248,6 +248,80 @@ def sharded_bitap_count(
     return int(total)
 
 
+def sharded_staged_count(
+    eng,  # ops.staged.StagedEngine
+    haystack: bytes,
+    mesh: Optional[Mesh] = None,
+) -> Optional[int]:
+    """Mesh-parallel two-stage count: per shard, the fingerprint flags
+    kernel + candidate-stream gather + exact rescan (ops/staged.py),
+    partial counts psum'd over ICI.
+
+    This keeps the sharded large-count path on the SAME engine the
+    single-chip facade prefers for large counts, instead of silently
+    devolving to the single-pass kernel. The per-shard rescan cap is
+    shared (shard_map is SPMD); a pmax over per-shard candidate counts
+    grows it until every shard fits, exactly like the single-chip
+    adaptive loop."""
+    from ..ops.staged import LANES, _staged_jit, _staged_layouts
+
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.devices.size
+    n = len(haystack)
+    if n == 0:
+        return 0
+    halo = eng.halo
+    pad = eng.full.pad_byte
+    assert pad is not None  # StagedEngine.eligible requires it
+    shard = _round_up(-(-n // ndev), 4)
+    L, Lc, tiles = eng._layout(halo + shard)
+    row_bytes = tiles * LANES * L
+    rows = np.full((ndev, row_bytes), pad, dtype=np.uint8)
+    nn = np.zeros((ndev, 2), dtype=np.int32)
+    buf = np.frombuffer(haystack, dtype=np.uint8)
+    for i in range(ndev):
+        g0 = i * shard
+        lo_ = max(0, g0 - halo)
+        seg = buf[lo_:min(g0 + shard, n)]
+        off = halo - (g0 - lo_)
+        rows[i, off:off + len(seg)] = seg
+        nn[i, 0] = halo
+        nn[i, 1] = halo + max(0, min(n - g0, shard))
+    rows32 = rows.view(np.int32)
+    rows32_d = jax.device_put(
+        rows32, NamedSharding(mesh, P("d", None)))
+    nn_d = jax.device_put(nn, NamedSharding(mesh, P("d", None)))
+    ns = tiles * LANES
+    cap = max(LANES, 1 << (max(ns // 8, 1) - 1).bit_length())
+    while cap <= ns:
+        fn = _staged_jit(eng.fp.baked_key(), eng.full.baked_key(),
+                         eng.fp.k, eng.full.k, L, Lc, halo, tiles, cap)
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P("d", None), P("d", None)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def run(rows32, nn):
+            srows, shrows, shalo, sbody = _staged_layouts(
+                rows32[0], L, tiles, halo
+            )
+            total, ncand = fn(srows, shrows, shalo, sbody, nn[0])
+            return lax.psum(total, "d"), lax.pmax(ncand, "d")
+
+        total, worst = jax.jit(run)(rows32_d, nn_d)
+        if int(worst) <= cap:
+            return int(total)
+        cap = max(cap * 2, 1 << (int(worst) - 1).bit_length())
+    # Every stream of some shard flagged: the single-pass kernel is the
+    # better engine at that density — caller falls back (None), exactly
+    # like the single-chip StagedEngine.count_matches contract.
+    return None
+
+
 def sharded_bitap_match_pairs(
     eng,  # ops.bitap.BitapEngine
     haystack: bytes,
@@ -520,7 +594,9 @@ def sharded_cascade_match_pairs(
     rows32 = rows.view(np.int32)
     dv = t.device_args()
     mk = t.meta_key()
-    meta = dict(mk[1])
+    meta = dict(mk[2])
+    q = mk[1]
+    tail_w0 = (C.FP_LEN - q + C.KEY_LEN) // 4
     coarse_args = t.coarse.device_args()
 
     def run_for_caps(cap_c: int, cap_e: int, cap_m: int):
@@ -546,7 +622,7 @@ def sharded_cascade_match_pairs(
             wnd = F._gather_windows(u8f, e_pos, W)
             ne, total, out_pid, out_end = C._probe_expand_verify(
                 e_pos, live, wnd, nv[0, 0], dv, meta, True,
-                cap_e, cap_m,
+                cap_e, cap_m, q, tail_w0,
             )
             return (ncand[None], ne[None], total[None],
                     out_pid[None], out_end[None])
@@ -675,12 +751,26 @@ class ShardedSearcher:
         return semantics.MatchSet(pids, starts, ends, input.start)
 
     def count_matches(self, input) -> int:
+        from ..ops.staged import StagedEngine
         from ..utils.search import to_input
 
         input = to_input(input)
         if self._eng is None:
             return len(self._match_set(input).pids)
         hs = input.haystack[input.start:input.end]
+        # Same engine preference as the single-chip facade: the staged
+        # two-stage count leads when the PER-SHARD size clears its
+        # floor, so sharded large counts do not silently run a
+        # different engine than single-chip ones.
+        ndev = self.mesh.devices.size
+        per_shard = -(-len(hs) // max(ndev, 1))
+        if StagedEngine.eligible(self.ac._patterns, per_shard,
+                                 self.ac._case_insensitive):
+            staged = self.ac._staged_engine(per_shard)
+            if staged is not None:
+                got = sharded_staged_count(staged, hs, self.mesh)
+                if got is not None:
+                    return got
         return sharded_bitap_count(self._eng, hs, self.mesh)
 
 

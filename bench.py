@@ -15,10 +15,13 @@ Reference baselines (BASELINE.md): same query, forced dense DFA
 Further rows cover the full production surface: extraction (the
 reference's headline IS find_iter — fingerprint fused extract with TPU
 triple-parity asserted against host enumeration), the dict1k and
-dict100k dictionary configs (fingerprint / cascade engines, parity vs
-the native C++ walk), and the reference's actual corpus+patterns
-(name-alt1 over sherlock.txt, us/scan comparable to its recorded
-11.67 us median).
+dict100k dictionary configs (fingerprint / cascade engines, triple
+parity vs the native C++ walk), the reference's REAL dictionaries
+(dict-english-123k measured boundary on the native walk +
+dict-english-l10 cascade rows over real opensubtitles text), and the
+reference's actual corpus+patterns (name-alt1 over sherlock.txt,
+us/scan comparable to its recorded 11.67 us median, reported with
+run-to-run dispersion).
 
 Measured ceiling note (v5e): the exact kernel is VPU-ALU-bound at
 ~(0.57 + 0.24K) ms per 64 MiB scan, so staging buys only ~4% on counts
@@ -135,24 +138,44 @@ def make_chained(jax, jnp, call, body_idx=-1):
     return chained
 
 
-def slope_time(jax, chained, args, expect_of, r_lo=4, r_hi=20, iters=4):
-    """Marginal per-call seconds via chained-invocation slope timing."""
-    def t_at(reps):
-        out = int(chained(*args, reps))
-        want = expect_of(reps)
-        assert want is None or out == want, (out, want)
-        best = float("inf")
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            int(chained(*args, reps))
-            best = min(best, time.perf_counter() - t0)
-        return best
+SPREADS = {}  # label -> percent spread of the per-round slope estimates
 
-    t_lo = t_at(r_lo)
-    t_hi = t_at(r_hi)
-    per = (t_hi - t_lo) / (r_hi - r_lo)
-    log(f"t({r_lo})={t_lo*1e3:.1f} ms t({r_hi})={t_hi*1e3:.1f} ms "
-        f"-> per-scan {per*1e3:.3f} ms")
+
+def slope_time(jax, chained, args, expect_of, r_lo=4, r_hi=20, iters=4,
+               label=None):
+    """Marginal per-call seconds via chained-invocation slope timing.
+
+    Runs `iters` alternating (r_lo, r_hi) timing rounds: the headline
+    estimate is the min-over-rounds slope (tunnel jitter only ever adds
+    time), and the round-to-round slope dispersion is recorded in
+    SPREADS so 1.0x-vs-reference claims carry error bars (the r03->r04
+    headline moved ~5% run to run with no dispersion reported)."""
+    out = int(chained(*args, r_lo))
+    want = expect_of(r_lo)
+    assert want is None or out == want, (out, want)
+    out = int(chained(*args, r_hi))
+    want = expect_of(r_hi)
+    assert want is None or out == want, (out, want)
+
+    def t_once(reps):
+        t0 = time.perf_counter()
+        int(chained(*args, reps))
+        return time.perf_counter() - t0
+
+    slopes = []
+    t_lo_min = t_hi_min = float("inf")
+    for _ in range(iters):
+        t_lo = t_once(r_lo)
+        t_hi = t_once(r_hi)
+        slopes.append((t_hi - t_lo) / (r_hi - r_lo))
+        t_lo_min = min(t_lo_min, t_lo)
+        t_hi_min = min(t_hi_min, t_hi)
+    per = (t_hi_min - t_lo_min) / (r_hi - r_lo)
+    spread = ((max(slopes) - min(slopes)) / per * 100.0) if per > 0 else 0.0
+    if label is not None:
+        SPREADS[label] = round(spread, 1)
+    log(f"t({r_lo})={t_lo_min*1e3:.1f} ms t({r_hi})={t_hi_min*1e3:.1f} ms "
+        f"-> per-scan {per*1e3:.3f} ms (spread {spread:.0f}%)")
     return per
 
 
@@ -183,7 +206,7 @@ def bench_staged(jax, jnp, patterns, haystack, expect):
         fn(rows, hrows, halo, body, nn)[0], body_idx=3)
     per = slope_time(
         jax, chained, (ph.rows, ph.hrows, ph.halo_a, ph.body),
-        lambda r: expect * r,
+        lambda r: expect * r, label="staged",
     )
     return len(haystack) / per / 1e9
 
@@ -201,7 +224,7 @@ def bench_bitap(jax, jnp, patterns, haystack, expect):
     )
     chained = make_chained(jax, jnp, count_fn, body_idx=1)
     per = slope_time(jax, chained, (ph.halo_a, ph.body),
-                     lambda r: expect * r)
+                     lambda r: expect * r, label="bitap")
     return len(haystack) / per / 1e9
 
 
@@ -241,7 +264,7 @@ def bench_fp_extract(jax, jnp, pats, hs, expect, ci, label,
 
     chained = make_chained(jax, jnp, call, body_idx=1)
     per = slope_time(jax, chained, (ph.halo_a, ph.body, ph.u8f),
-                     lambda r: None, r_hi=12)
+                     lambda r: None, r_hi=12, label=label)
     return len(hs) / per / 1e9
 
 
@@ -277,11 +300,18 @@ def bench_dict100k(jax, jnp):
         fnc(halo, body, u8f, n_dev, dv, cap_c=cap_c, cap_e=cap_e)[2],
         body_idx=1)
     per = slope_time(jax, chained_c, (ph.halo_a, ph.body, ph.u8f),
-                     lambda r: want * r, r_hi=12)
+                     lambda r: want * r, r_hi=12, label="dict100k-count")
     count_gbps = n / per / 1e9
 
     gp, ge = eng.match_pairs(ph)
     assert len(gp) == want
+    # Full TPU triple parity for the cascade extraction (not just the
+    # length): element-wise (pid, end) equality vs the native walk's
+    # overlapping enumeration, in the same report order.
+    wp, we = native_overlapping_pairs(pats, hs, True)
+    assert np.array_equal(gp, wp) and np.array_equal(ge, we), \
+        "dict100k TPU extraction triple parity failure"
+    log(f"dict100k: TPU triple parity OK ({len(wp)} matches)")
     _, _, cap_m = eng.last_caps
     fne = _cascade_jit(t.coarse.baked_key(), t.meta_key(), t.coarse.k,
                        ph.L, ph.Lc, eng.halo, ph.tiles, True)
@@ -294,8 +324,23 @@ def bench_dict100k(jax, jnp):
 
     chained_e = make_chained(jax, jnp, call_e, body_idx=1)
     per_e = slope_time(jax, chained_e, (ph.halo_a, ph.body, ph.u8f),
-                       lambda r: None, r_hi=12)
+                       lambda r: None, r_hi=12, label="dict100k-extract")
     return count_gbps, n / per_e / 1e9
+
+
+def native_overlapping_pairs(pats, hs, ci=False):
+    """All overlapping (pid, 1-based end) pairs from the production
+    native C++ DFA walk, in the reference's overlapping report order —
+    the host truth large dictionaries are parity-checked against."""
+    from ahocorasick_tpu import AhoCorasick
+
+    ac = AhoCorasick(pats, ascii_case_insensitive=ci,
+                     device_threshold=1 << 62)  # force native walk
+    wp, we = [], []
+    for m in ac.find_overlapping_iter(hs):
+        wp.append(m.pattern)
+        we.append(m.end)
+    return np.asarray(wp, np.int64), np.asarray(we, np.int64)
 
 
 def bench_sherlock_real(jax, jnp):
@@ -320,21 +365,125 @@ def bench_sherlock_real(jax, jnp):
     # Sub-100us scans drown in the tunnel's ~25 ms dispatch jitter;
     # thousands of reps lift the measured span well above the noise.
     chained = make_chained(jax, jnp, fn, body_idx=1)
-
-    def t_at(reps, iters=5):
+    r_lo, r_hi = 256, 4096
+    for reps in (r_lo, r_hi):
         out = int(chained(ph.halo_a, ph.body, reps))
         assert out == expect * reps, (out, expect * reps)
-        best = float("inf")
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            int(chained(ph.halo_a, ph.body, reps))
-            best = min(best, time.perf_counter() - t0)
-        return best
 
-    r_lo, r_hi = 256, 4096
-    per = (t_at(r_hi) - t_at(r_lo)) / (r_hi - r_lo)
-    log(f"sherlock-real: per-scan {per*1e6:.2f} us")
+    def t_once(reps):
+        t0 = time.perf_counter()
+        int(chained(ph.halo_a, ph.body, reps))
+        return time.perf_counter() - t0
+
+    slopes = []
+    t_lo_min = t_hi_min = float("inf")
+    for _ in range(5):
+        t_lo = t_once(r_lo)
+        t_hi = t_once(r_hi)
+        slopes.append((t_hi - t_lo) / (r_hi - r_lo))
+        t_lo_min = min(t_lo_min, t_lo)
+        t_hi_min = min(t_hi_min, t_hi)
+    per = (t_hi_min - t_lo_min) / (r_hi - r_lo)
+    spread = (max(slopes) - min(slopes)) / per * 100.0
+    SPREADS["sherlock"] = round(spread, 1)
+    log(f"sherlock-real: L={ph.L} tiles={ph.tiles} "
+        f"per-scan {per*1e6:.2f} us (spread {spread:.0f}%)")
     return per * 1e6, len(hay) / per / 1e9
+
+
+ENGLISH_DICT = "/root/reference/benchmarks/regexes/dictionary/english"
+EN_SAMPLED = ("/root/reference/benchmarks/haystacks/opensubtitles/"
+              "en-sampled.txt")
+
+
+def bench_dict_english(jax, jnp):
+    """Real-data dictionary rows on the reference's own corpora.
+
+    1. dict-english-123k: the FULL 123,115-word English dictionary
+       (sorted.txt) over opensubtitles en-sampled. Measured boundary:
+       1.31 overlapping matches PER BYTE of text (1,175,169 in 899,232
+       bytes; 74% from the dictionary's 52 single-character words) and
+       a 13.5% exact 4-byte-prefix candidate floor — the planner's
+       saturation model (ops/fingerprint.py SATURATION) rejects every
+       device plan, so production routes to the native C++ DFA walk,
+       which this row measures. The reference's execution model for
+       this shape is the same sequential walk (dfa.rs:218-226, one
+       dependent table load per byte; no prefilter applies past 64
+       patterns, teddy/builder.rs:113) — its recorded ~0.8 GB/s DFA
+       rows are small automatons, while a 123k-word table (~100 MB of
+       transitions) is DRAM-latency-bound on any host.
+    2. dict-english-l10: the reference's real 43,029-pattern length-10
+       dictionary (dictionary/english/length-10.txt, the curated.toml
+       dictionary family) over real opensubtitles text tiled to 16 MiB
+       — the cascade device engine, count + extraction with full
+       triple parity vs the native walk.
+    """
+    from ahocorasick_tpu import AhoCorasick
+    from ahocorasick_tpu.ops.cascade import CascadeEngine, _cascade_jit
+
+    dic = [w for w in open(f"{ENGLISH_DICT}/sorted.txt", "rb")
+           .read().split(b"\n") if w]
+    hay = open(EN_SAMPLED, "rb").read()
+    # The saturation boundary must hold (anything else means the model
+    # regressed and a hostile workload would reach the device).
+    assert not CascadeEngine.eligible(dic, False)
+    ac = AhoCorasick(dic, device_threshold=1 << 62)
+    want = ac.count_matches(hay)
+    assert want == 1_175_169, want  # precomputed on this fixed corpus
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        ac.count_matches(hay)
+        best = min(best, time.perf_counter() - t0)
+    full_gbps = len(hay) / best / 1e9
+    log(f"dict-english-123k: native walk {best*1e3:.2f} ms "
+        f"({full_gbps:.2f} GB/s, {want} matches)")
+
+    l10 = [w for w in open(f"{ENGLISH_DICT}/length-10.txt", "rb")
+           .read().split(b"\n") if w]
+    n = 1 << 24
+    hs = (hay * (-(-n // len(hay))))[:n]
+    eng = CascadeEngine(l10, False)
+    # Pre-seed the adaptive caps (measured on this corpus: ~143k coarse
+    # candidates at q=8, ~570k expansion rows, ~29k matches per 16 MiB)
+    # so the first dispatch compiles at the settled shapes instead of
+    # paying several cap-escalation recompiles through the tunnel.
+    eng._caps = {"c": 1 << 18, "e": 1 << 20, "m": 1 << 16}
+    ph = eng.prepare(hs)
+    got = eng.count_matches(ph)
+    wp, we = native_overlapping_pairs(l10, hs, False)
+    assert got == len(wp), (got, len(wp))
+    gp, ge = eng.match_pairs(ph)
+    assert np.array_equal(gp, wp) and np.array_equal(ge, we), \
+        "dict-english-l10 TPU extraction triple parity failure"
+    log(f"dict-english-l10: TPU triple parity OK ({len(wp)} matches)")
+    cap_c, cap_e, cap_m = eng.last_caps
+    t = eng.tables
+    dv = t.device_args()
+    n_dev = jnp.int32(ph.n)
+    log(f"dict-english-l10: K={t.coarse.k} prefixes={t.num_prefixes} "
+        f"caps c={cap_c} e={cap_e} m={cap_m}")
+    fnc = _cascade_jit(t.coarse.baked_key(), t.meta_key(), t.coarse.k,
+                       ph.L, ph.Lc, eng.halo, ph.tiles, False)
+    chained_c = make_chained(
+        jax, jnp, lambda halo, body, u8f:
+        fnc(halo, body, u8f, n_dev, dv, cap_c=cap_c, cap_e=cap_e)[2],
+        body_idx=1)
+    per = slope_time(jax, chained_c, (ph.halo_a, ph.body, ph.u8f),
+                     lambda r: got * r, r_hi=12, label="dict-l10-count")
+    fne = _cascade_jit(t.coarse.baked_key(), t.meta_key(), t.coarse.k,
+                       ph.L, ph.Lc, eng.halo, ph.tiles, True)
+
+    def call_e(halo, body, u8f):
+        _nc, _ne, total, opid, oend = fne(
+            halo, body, u8f, n_dev, dv,
+            cap_c=cap_c, cap_e=cap_e, cap_m=cap_m)
+        return total + opid[0] + oend[-1].astype(jnp.int32)
+
+    chained_e = make_chained(jax, jnp, call_e, body_idx=1)
+    per_e = slope_time(jax, chained_e, (ph.halo_a, ph.body, ph.u8f),
+                       lambda r: None, r_hi=12, label="dict-l10-extract")
+    return full_gbps, n / per / 1e9, n / per_e / 1e9
 
 
 # Two syllable pools: dictionary entries (name-like) vs prose filler —
@@ -414,7 +563,7 @@ def bench_fp_count(jax, jnp, pats, hs, expect, ci, label):
         fn(halo, body, u8f, n_dev, dv_args, cap_c=cap_c)[1],
         body_idx=1)
     per = slope_time(jax, chained, (ph.halo_a, ph.body, ph.u8f),
-                     lambda r: expect * r)
+                     lambda r: expect * r, label=label)
     return len(hs) / per / 1e9
 
 
@@ -503,6 +652,7 @@ def main():
         "dict1k-extract",
     )
     d100k = guarded("dict100k", bench_dict100k, jax, jnp)
+    deng = guarded("dict-english", bench_dict_english, jax, jnp)
     sher = guarded("sherlock-real", bench_sherlock_real, jax, jnp)
 
     gbps = max(staged_gbps, bitap_gbps)
@@ -525,9 +675,16 @@ def main():
                 "dict1k_extract_gbps": rnd(dict1k_ext),
                 "dict100k_count_gbps": rnd(d100k[0] if d100k else None),
                 "dict100k_extract_gbps": rnd(d100k[1] if d100k else None),
+                "dict_english_123k_native_gbps": rnd(
+                    deng[0] if deng else None),
+                "dict_english_l10_count_gbps": rnd(
+                    deng[1] if deng else None),
+                "dict_english_l10_extract_gbps": rnd(
+                    deng[2] if deng else None),
                 "sherlock_realcorpus_us": rnd(sher[0] if sher else None),
                 "sherlock_realcorpus_gbps": rnd(sher[1] if sher else None),
                 "ref_sherlock_realcorpus_us": 11.67,
+                "slope_spread_pct": SPREADS,
             }
         )
     )

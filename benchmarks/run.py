@@ -1,11 +1,17 @@
 """Benchmark suite — the rebar-harness analog (reference benchmarks/).
 
 Suites (mirroring the reference's definitions):
-  sherlock   5-name leftmost query over English-like text (the headline)
-  patsweep   pattern-count sweep 1..64 (the teddy.toml role)
-  same       degenerate all-match haystack (same/onebyte-match)
-  build      automaton construction time, python vs native builder
-  memory     per-backend table sizes
+  sherlock     5-name leftmost query over English-like text (headline)
+  patsweep     pattern-count sweep 1..64 (the teddy.toml role)
+  teddysweep   forced-fingerprint sweep + auto-routed production rows
+  same         degenerate all-match haystack (same/onebyte-match)
+  dict1k/dict100k   synthetic dictionary configs (fingerprint/cascade)
+  realcorpus   sherlock.txt name-alt1/alt2 + opensubtitles-en rows
+  multilang    alt-sherlock-ru/zh on opensubtitles ru/zh (UTF-8)
+  dict15       curated dictionary-15 (2,663 length>=15 real words)
+  dict-english full-123k boundary row + length-10 cascade rows
+  build        automaton construction time, python vs native builder
+  memory       per-backend table sizes
 
 Device rows use tunnel-free slope timing (chained in-jit kernel
 invocations separated by optimization_barrier; see bench.py docstring).
@@ -49,6 +55,31 @@ def english_haystack(n, names=(), hit_rate=0.001, seed=1234):
     return b" ".join(parts)[:n]
 
 
+_GENERIC_CHAINS = {}
+
+
+def _generic_chain(K, L, Lc, H, tiles):
+    """Memoized chained generic-count graph: tables/haystack are traced
+    args, so ONE tunnel compile serves every pattern set with the same
+    (K, layout) shape — the teddysweep production rows would otherwise
+    pay a fresh multi-minute compile per sweep point."""
+    key = (K, L, Lc, H, tiles)
+    if key not in _GENERIC_CHAINS:
+        import jax
+        import jax.numpy as jnp
+
+        from bench import make_chained
+        from ahocorasick_tpu.ops import bitap as B
+
+        def fn(lo, hi, sm, em, nn, h, b):
+            t, _ = B._bitap_call(lo, hi, sm, em, h, b, nn, K=K, L=L,
+                                 Lc=Lc, H=H, tiles=tiles, extract=False)
+            return t
+
+        _GENERIC_CHAINS[key] = make_chained(jax, jnp, fn, body_idx=6)
+    return _GENERIC_CHAINS[key]
+
+
 def device_count_gbps(patterns, hay, r_lo=4, r_hi=16):
     """Slope-timed count-mode throughput for one pattern set."""
     import jax
@@ -61,19 +92,17 @@ def device_count_gbps(patterns, hay, r_lo=4, r_hi=16):
     eng = B.BitapEngine(patterns, False)
     ph = eng.prepare(hay)
     if ph.baked:
-        fn = B._baked_jit(eng.tables.baked_key(), eng.tables.k, ph.L,
-                          ph.Lc, eng.halo, ph.tiles, False)
+        bfn = B._baked_jit(eng.tables.baked_key(), eng.tables.k, ph.L,
+                           ph.Lc, eng.halo, ph.tiles, False)
+        chained = make_chained(jax, jnp, bfn, body_idx=1)
     else:
         lo, hi, sm, em = eng._args()
         nn = jnp.asarray([0, n], jnp.int32)
+        gchain = _generic_chain(eng.tables.k, ph.L, ph.Lc, eng.halo,
+                                ph.tiles)
 
-        def fn(h, b):
-            t, _ = B._bitap_call(lo, hi, sm, em, h, b, nn, K=eng.tables.k,
-                                 L=ph.L, Lc=ph.Lc, H=eng.halo,
-                                 tiles=ph.tiles, extract=False)
-            return t
-
-    chained = make_chained(jax, jnp, fn, body_idx=1)
+        def chained(halo, body, reps):
+            return gchain(lo, hi, sm, em, nn, halo, body, reps)
 
     def t_at(reps, iters=3):
         int(chained(ph.halo_a, ph.body, reps))
@@ -211,7 +240,17 @@ def suite_teddysweep():
             emit(suite="teddysweep", engine="fingerprint", patterns=cnt,
                  plen=plen, limbs=eng.tables.k,
                  buckets=eng.tables.num_buckets, bytes=n, matches=want,
-                 gbps=round(n / per / 1e9, 2))
+                 gbps=round(n / per / 1e9, 2), forced_engine=True)
+            # Production row: auto routing sends every teddy-suite shape
+            # (<= 64 short patterns) to the exact bit-parallel engine —
+            # the forced-fingerprint rows above measure a NON-production
+            # path at these scales (VERDICT r04 weak #2).
+            pgbps, pcount, pk = device_count_gbps(pats, hay,
+                                                  r_lo=64, r_hi=512)
+            assert pcount == want, (pcount, want)
+            emit(suite="teddysweep", engine="bitap-production",
+                 patterns=cnt, plen=plen, limbs=pk, bytes=n,
+                 matches=want, gbps=round(pgbps, 2))
 
 
 def suite_dict100k():
@@ -327,6 +366,147 @@ def suite_realcorpus():
              ref_default_us=ref_us)
 
 
+def _count_extract_rows(suite, name, pats, hay, ref_us, r_lo=256,
+                        r_hi=4096):
+    """Count + extraction slope rows for one (patterns, corpus) pair on
+    the bit-parallel engine, with full triple parity asserted."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import brute_pairs, host_count, make_chained
+    from ahocorasick_tpu.ops import bitap as B
+    from ahocorasick_tpu.ops.bitap import _pow2
+
+    n = len(hay)
+    want = host_count(pats, hay)
+    eng = B.BitapEngine(pats, False)
+    ph = eng.prepare(hay, baked=True)
+    assert ph.baked, "pattern set must admit a pad byte"
+    assert eng.count_matches(ph) == want
+    gp, ge = eng.match_pairs(ph)
+    wp, we = brute_pairs(pats, hay)
+    assert np.array_equal(gp, wp) and np.array_equal(ge, we), \
+        f"{name}: triple parity failure"
+    t = eng.tables
+    fn = B._baked_jit(t.baked_key(), t.k, ph.L, ph.Lc, eng.halo,
+                      ph.tiles, False)
+    chained = make_chained(jax, jnp, fn, body_idx=1)
+    assert int(chained(ph.halo_a, ph.body, 3)) == want * 3
+
+    def t_at(ch, reps, iters=4):
+        int(ch(ph.halo_a, ph.body, reps))
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            int(ch(ph.halo_a, ph.body, reps))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per = (t_at(chained, r_hi) - t_at(chained, r_lo)) / (r_hi - r_lo)
+    # Extraction: fused kernel + word compaction, chained on a scalar
+    # that folds in the compaction outputs (nnzw/idx/vals) so XLA
+    # cannot dead-code-eliminate the compaction stage.
+    Lce = ph.Lc
+    kdim = len(t.end_limbs)
+    while Lce * kdim > 1024 and Lce > 4:
+        Lce //= 2
+    fe = B._baked_jit(t.baked_key(), t.k, ph.L, Lce, eng.halo,
+                      ph.tiles, True)
+    total, nnzw, _, _ = fe(ph.halo_a, ph.body, cap=4096)
+    cap = max(4096, _pow2(int(nnzw)))
+
+    def call_e(halo, body):
+        tot, nz, idx, vals = fe(halo, body, cap=cap)
+        return (tot + nz.astype(jnp.int32) + idx[0].astype(jnp.int32)
+                + vals[-1].astype(jnp.int32))
+
+    chained_e = make_chained(jax, jnp, call_e, body_idx=1)
+    per_e = (t_at(chained_e, r_hi // 4) - t_at(chained_e, r_lo // 4)) \
+        / (r_hi // 4 - r_lo // 4)
+    emit(suite=suite, config=name, bytes=n, matches=want,
+         us_per_scan=round(per * 1e6, 2), gbps=round(n / per / 1e9, 2),
+         extract_us_per_scan=round(per_e * 1e6, 2),
+         extract_gbps=round(n / per_e / 1e9, 2),
+         triple_parity="ok", ref_default_us=ref_us)
+
+
+def suite_multilang():
+    """Non-ASCII real corpora: the reference's alt-sherlock-{ru,zh}
+    configs (regexcurated.toml:154-212) over opensubtitles ru/zh.
+    UTF-8 Cyrillic/CJK bytes stress the nybble mux trees and pad-byte
+    machinery with dense high bytes and no ASCII case pairs; reference
+    default medians from record/x86_64/2023-09-17.csv."""
+    import os
+
+    base = "/root/reference/benchmarks/haystacks/opensubtitles"
+    if not os.path.exists(base):
+        emit(suite="multilang", skipped="no reference corpora mounted")
+        return
+    rows = [
+        ("alt-sherlock-ru",
+         ["Шерлок Холмс", "Джон Уотсон", "Ирен Адлер",
+          "инспектор Лестрейд", "профессор Мориарти"],
+         "ru-sampled.txt", 234.19),
+        ("alt-sherlock-zh",
+         ["夏洛克·福尔摩斯", "约翰华生", "阿德勒", "雷斯垂德",
+          "莫里亚蒂教授"],
+         "zh-sampled.txt", 56.62),
+    ]
+    for name, pats_s, fname, ref_us in rows:
+        pats = [p.encode() for p in pats_s]
+        hay = open(f"{base}/{fname}", "rb").read()
+        _count_extract_rows("multilang", name, pats, hay, ref_us)
+
+
+def suite_dict15():
+    """The curated dictionary-15 config: 2,663 length>=15 English words
+    (dictionary/english/length-15.txt) — fingerprint-engine territory
+    (the production route: past the exact kernel's 2048-byte budget).
+    The reference walks this on its bare automaton: default 312.17 us /
+    forced DFA 82.12 us on en-medium (61,436 B) = 0.20 / 0.75 GB/s
+    (record/x86_64/2023-09-17.csv regexcurated/dictionary-15)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import bench_fp_count, bench_fp_extract, brute_pairs
+
+    path = ("/root/reference/benchmarks/regexes/dictionary/english/"
+            "length-15.txt")
+    if not os.path.exists(path):
+        emit(suite="dict15", skipped="no reference dictionary mounted")
+        return
+    pats = [w for w in open(path, "rb").read().split(b"\n") if w]
+    hay = open("/root/reference/benchmarks/haystacks/opensubtitles/"
+               "en-sampled.txt", "rb").read()
+    wp, we = brute_pairs(pats, hay)
+    gbps = bench_fp_count(jax, jnp, pats, hay, len(wp), False, "dict15")
+    egbps = bench_fp_extract(jax, jnp, pats, hay, len(wp), False,
+                             "dict15-extract", (wp, we))
+    emit(suite="dict15", engine="fingerprint", patterns=len(pats),
+         bytes=len(hay), matches=len(wp), gbps=round(gbps, 2),
+         extract_gbps=round(egbps, 2), triple_parity="ok",
+         ref_default_gbps=0.20, ref_dfa_gbps=0.75)
+
+
+def suite_dict_english():
+    """Real-dictionary rows (sorted.txt boundary + length-10 cascade);
+    see bench.bench_dict_english."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import bench_dict_english
+
+    full_gbps, l10_gbps, l10_egbps = bench_dict_english(jax, jnp)
+    emit(suite="dict-english", config="full-123k",
+         engine="native-walk (saturation boundary: 1.31 matches/byte)",
+         patterns=123115, gbps=round(full_gbps, 3))
+    emit(suite="dict-english", config="length-10-43k", engine="cascade",
+         patterns=43029, gbps=round(l10_gbps, 2),
+         extract_gbps=round(l10_egbps, 2), triple_parity="ok")
+
+
 def suite_build():
     from ahocorasick_tpu.automata.noncontiguous import compile_nfa
 
@@ -379,6 +559,9 @@ SUITES = {
     "dict1k": suite_dict1k,
     "dict100k": suite_dict100k,
     "realcorpus": suite_realcorpus,
+    "multilang": suite_multilang,
+    "dict15": suite_dict15,
+    "dict-english": suite_dict_english,
     "build": suite_build,
     "memory": suite_memory,
 }

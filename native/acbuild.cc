@@ -39,6 +39,14 @@ inline uint8_t OppositeAsciiCase(uint8_t b) {
 // sorted-vector inserts, which dominated the 100k-pattern build
 // (0.66 s -> the reference's noncontiguous build is 240 ms,
 // src/ahocorasick.rs:46-55).
+//
+// Both the trie build and the BFS failure fill are DRAM-latency-bound
+// on these probes (the 100k-pattern map exceeds any cache), so the map
+// comes in two layouts behind one interface: the compact one packs
+// (key, value) into ONE uint64 slot — half the miss traffic — and
+// serves every automaton whose host-state ids fit 24 bits (16.7M
+// states; a 100k-word dictionary uses ~1.07M); the wide layout is the
+// unbounded fallback. Compile() is templated over the choice.
 struct TrieMap {
   struct Entry {
     int64_t key;  // -1 = empty
@@ -85,6 +93,55 @@ struct TrieMap {
       i = (i + 1) & mask;
     }
   }
+  void Prefetch(int64_t key) const {
+    __builtin_prefetch(&slots[Hash(static_cast<uint64_t>(key)) & mask]);
+  }
+};
+
+// Compact layout: slot = (key + 1) << 32 | value (0 = empty). Keys are
+// (state << 8 | byte) with state < 2^24, so key + 1 fits 32 bits.
+struct CompactTrieMap {
+  std::vector<uint64_t> slots;
+  uint64_t mask = 0;
+
+  void Init(uint64_t want) {
+    uint64_t cap = 64;
+    while (cap < want) cap <<= 1;
+    slots.assign(cap, 0);
+    mask = cap - 1;
+  }
+  int32_t* FindOrInsert(int64_t key, bool* found) {
+    const uint64_t tag = (static_cast<uint64_t>(key) + 1) << 32;
+    uint64_t i = TrieMap::Hash(static_cast<uint64_t>(key)) & mask;
+    while (true) {
+      uint64_t& e = slots[i];
+      if ((e & 0xFFFFFFFF00000000ull) == tag) {
+        *found = true;
+        return reinterpret_cast<int32_t*>(&e);  // low half (LE host)
+      }
+      if (e == 0) {
+        e = tag;
+        *found = false;
+        return reinterpret_cast<int32_t*>(&e);
+      }
+      i = (i + 1) & mask;
+    }
+  }
+  int32_t Find(int64_t key) const {
+    const uint64_t tag = (static_cast<uint64_t>(key) + 1) << 32;
+    uint64_t i = TrieMap::Hash(static_cast<uint64_t>(key)) & mask;
+    while (true) {
+      const uint64_t e = slots[i];
+      if ((e & 0xFFFFFFFF00000000ull) == tag)
+        return static_cast<int32_t>(e & 0xFFFFFFFFull);
+      if (e == 0) return -1;
+      i = (i + 1) & mask;
+    }
+  }
+  void Prefetch(int64_t key) const {
+    __builtin_prefetch(
+        &slots[TrieMap::Hash(static_cast<uint64_t>(key)) & mask]);
+  }
 };
 
 struct BuildResult {
@@ -107,9 +164,10 @@ struct BuildResult {
   std::vector<int32_t> pattern_lens;
 };
 
-BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
-                     int64_t n_patterns, int match_kind,
-                     int case_insensitive) {
+template <class Map>
+BuildResult* CompileImpl(const uint8_t* pat_bytes,
+                         const int64_t* pat_offsets, int64_t n_patterns,
+                         int match_kind, int case_insensitive) {
   const bool leftmost = match_kind != kMatchStandard;
   const bool leftmost_first = match_kind == kMatchLeftmostFirst;
 
@@ -129,7 +187,7 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
   const int64_t total_bytes = pat_offsets[n_patterns];
   const int64_t max_edges =
       (case_insensitive ? 2 : 1) * total_bytes + 8;
-  TrieMap map;
+  Map map;
   // Sized to the byte-count upper bound: worst-case load <= 0.8 after
   // the power-of-two round-up, typical dictionaries dedup far below
   // that. Smaller tables beat lower load factors here — the probe cost
@@ -291,6 +349,14 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
   std::vector<int32_t> bfs_order;
   bfs_order.reserve(n_host);
   std::vector<uint8_t> copy_flag(n_host, 0);
+  // Final match counts (final(s) = own(s) ++ final(fail(s))) are
+  // computed DURING discovery: fail[next] is final right here, its
+  // fcnt resolved a level earlier, and the BFS already has the state's
+  // cache lines hot — a separate per-level counts pass cost ~30 ms of
+  // re-misses on the 100k build. Root-own-match (empty pattern) builds
+  // take the order-sensitive replay path instead and skip this.
+  const bool fuse_fcnt = own_count[0] == 0;
+  std::vector<int64_t> fcnt(fuse_fcnt ? n_host : 0, 0);
   std::vector<uint8_t> seen(case_insensitive ? n_host : 0, 0);
   const bool use_seen = case_insensitive != 0;
 
@@ -307,6 +373,7 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
     bfs_order.push_back(next);
     if (use_seen) seen[next] = 1;
     if (leftmost && own_count[next] != 0) fail[next] = HOST_DEAD;
+    if (fuse_fcnt) fcnt[next] = own_count[next];
   }
   // Level-parallel BFS: a state's failure link depends only on strictly
   // shallower states, so each level's edges resolve independently. Each
@@ -315,13 +382,36 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
   // reproduces the sequential BFS order bit-for-bit. A child state is
   // reachable from exactly one parent (case twins share the parent), so
   // all fail/copy_flag/seen writes are race-free.
+  // Oversubscribed: each BFS worker stalls on dependent DRAM probes,
+  // so 4x-cores threads buy memory-level parallelism the same way the
+  // native walk's shards do (measured 146 -> ~70 ms on 2 cores).
   const int32_t kBfsThreads = std::min<int32_t>(
-      8, std::max<int32_t>(1, std::thread::hardware_concurrency()));
+      16, std::max<int32_t>(1, 4 * std::thread::hardware_concurrency()));
   auto resolve_run = [&](size_t p_lo, size_t p_hi,
                          std::vector<int32_t>& found) {
+    // Lookahead cursor issuing map prefetches PF edges ahead: the
+    // first failure-chain probe of child (sid, b) is at key
+    // (fail[sid] << 8 | b), known before the walk reaches it.
+    constexpr int kPf = 16;
+    size_t qa = p_lo;
+    int32_t ea = (qa < p_hi) ? estarts[bfs_order[qa]] : 0;
+    auto prefetch_next = [&] {
+      while (qa < p_hi && ea >= estarts[bfs_order[qa] + 1]) {
+        ++qa;
+        if (qa < p_hi) ea = estarts[bfs_order[qa]];
+      }
+      if (qa < p_hi) {
+        const int32_t f = fail[bfs_order[qa]];
+        if (f > 0)
+          map.Prefetch((static_cast<int64_t>(f) << 8) | cbyte[ea]);
+        ++ea;
+      }
+    };
+    for (int i = 0; i < kPf; ++i) prefetch_next();
     for (size_t qi = p_lo; qi < p_hi; ++qi) {
       int32_t sid = bfs_order[qi];
       for (int32_t ei = estarts[sid]; ei < estarts[sid + 1]; ++ei) {
+        prefetch_next();
         int32_t next = cnext[ei];
         uint8_t b = cbyte[ei];
         if (use_seen && seen[next]) continue;
@@ -329,11 +419,13 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
         if (use_seen) seen[next] = 1;
         if (leftmost && own_count[next] != 0) {
           fail[next] = HOST_DEAD;
+          if (fuse_fcnt) fcnt[next] = own_count[next];
           continue;
         }
         int32_t f = fail[sid];
         if (f == HOST_DEAD) {
           fail[next] = HOST_DEAD;
+          if (fuse_fcnt) fcnt[next] = own_count[next];
           continue;
         }
         int32_t nf;
@@ -348,6 +440,9 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
         }
         fail[next] = nf;
         if (nf != HOST_DEAD) copy_flag[next] = 1;
+        if (fuse_fcnt)
+          fcnt[next] = own_count[next]
+                       + (nf != HOST_DEAD ? fcnt[nf] : 0);
       }
     }
   };
@@ -381,6 +476,26 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
     }
   }
 
+  // Chunked parallel-for for output passes whose writes are disjoint
+  // per state (remap is a permutation); reads are random-access table
+  // lookups, so the same oversubscription that helps the BFS helps
+  // here.
+  auto parallel_for = [&](int64_t n_items, auto&& body) {
+    if (n_items < 16384 || kBfsThreads <= 1) {
+      body(int64_t{0}, n_items);
+      return;
+    }
+    const int64_t chunk = (n_items + kBfsThreads - 1) / kBfsThreads;
+    std::vector<std::thread> ths;
+    for (int32_t t = 0; t < kBfsThreads; ++t) {
+      const int64_t lo = t * chunk;
+      const int64_t hi = std::min<int64_t>(n_items, lo + chunk);
+      if (lo >= hi) break;
+      ths.emplace_back([&body, lo, hi] { body(lo, hi); });
+    }
+    for (auto& th : ths) th.join();
+  };
+
   // --- match finalization (host-id CSR hoff/hpid) ------------------
   // final(s) = own(s) ++ final(fail(s)) (the copy the old code did at
   // discovery time; fail(s) is strictly shallower, so it is final by
@@ -412,14 +527,7 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
         for (auto& th : ths) th.join();
       }
     };
-    std::vector<int64_t> fcnt(n_host, 0);
-    per_level([&](size_t lo, size_t hi) {
-      for (size_t qi = lo; qi < hi; ++qi) {
-        int32_t s = bfs_order[qi];
-        fcnt[s] = static_cast<int64_t>(own_count[s])
-                  + (copy_flag[s] ? fcnt[fail[s]] : 0);
-      }
-    });
+    // fcnt was fused into the BFS discovery (see fuse_fcnt above).
     for (int64_t s = 0; s < n_host; ++s) hoff[s + 1] = hoff[s] + fcnt[s];
     hpid.resize(hoff[n_host]);
     per_level([&](size_t lo, size_t hi) {
@@ -507,11 +615,13 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
 
   out->fail.assign(num_states, 0);
   out->depth.assign(num_states, 0);
-  for (int64_t s_i = 0; s_i < n_host; ++s_i) {
-    int32_t f = fail[s_i];
-    out->fail[remap[s_i]] = (f == HOST_DEAD) ? 0 : remap[f];
-    out->depth[remap[s_i]] = depths[s_i];
-  }
+  parallel_for(n_host, [&](int64_t lo, int64_t hi) {
+    for (int64_t s_i = lo; s_i < hi; ++s_i) {
+      int32_t f = fail[s_i];
+      out->fail[remap[s_i]] = (f == HOST_DEAD) ? 0 : remap[f];
+      out->depth[remap[s_i]] = depths[s_i];
+    }
+  });
   out->fail[su] = out->start_loop_open ? su : 0;
   out->fail[sa] = 0;
 
@@ -524,12 +634,14 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
   for (int32_t i = 0; i < num_states; ++i)
     out->match_starts[i + 1] += out->match_starts[i];
   out->match_pids.assign(out->match_starts[num_states], 0);
-  for (int64_t s_i = 0; s_i < n_host; ++s_i) {
-    if (final_count(s_i))
-      std::memcpy(out->match_pids.data() + out->match_starts[remap[s_i]],
-                  hpid.data() + hoff[s_i],
-                  final_count(s_i) * sizeof(int32_t));
-  }
+  parallel_for(n_host, [&](int64_t lo, int64_t hi) {
+    for (int64_t s_i = lo; s_i < hi; ++s_i) {
+      if (final_count(s_i))
+        std::memcpy(out->match_pids.data() + out->match_starts[remap[s_i]],
+                    hpid.data() + hoff[s_i],
+                    final_count(s_i) * sizeof(int32_t));
+    }
+  });
   if (final_count(0))
     std::memcpy(out->match_pids.data() + out->match_starts[sa],
                 hpid.data() + hoff[0],
@@ -549,7 +661,8 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
   const int64_t nnz = out->trans_starts[num_states];
   out->trans_bytes.assign(nnz, 0);
   out->trans_next.assign(nnz, 0);
-  for (int64_t s_i = 0; s_i < n_host; ++s_i) {
+  parallel_for(n_host, [&](int64_t p_lo, int64_t p_hi) {
+   for (int64_t s_i = p_lo; s_i < p_hi; ++s_i) {
     int32_t lo = out->trans_starts[remap[s_i]];
     if (s_i == 0) {
       const int32_t loop_target = out->start_loop_open ? su : 0;
@@ -568,7 +681,8 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
         out->trans_next[lo + k] = remap[cnext[ei]];
       }
     }
-  }
+   }
+  });
   {
     int32_t lo = out->trans_starts[sa];
     for (int32_t ei = estarts[0], k = 0; ei < estarts[1]; ++ei, ++k) {
@@ -577,6 +691,22 @@ BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
     }
   }
   return out;
+}
+
+BuildResult* Compile(const uint8_t* pat_bytes, const int64_t* pat_offsets,
+                     int64_t n_patterns, int match_kind,
+                     int case_insensitive) {
+  // Host-state ids are bounded by total pattern bytes + 1; when they
+  // fit 24 bits the compact single-word map halves probe traffic (the
+  // build is DRAM-latency-bound on map probes: measured 100 ms trie +
+  // 146 ms BFS of the 0.38 s 100k-pattern build were probe misses).
+  const int64_t total_bytes = pat_offsets[n_patterns];
+  if (total_bytes + 2 <= (int64_t{1} << 24)) {
+    return CompileImpl<CompactTrieMap>(pat_bytes, pat_offsets, n_patterns,
+                                       match_kind, case_insensitive);
+  }
+  return CompileImpl<TrieMap>(pat_bytes, pat_offsets, n_patterns,
+                              match_kind, case_insensitive);
 }
 
 }  // namespace

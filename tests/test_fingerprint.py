@@ -53,7 +53,11 @@ def _oracle_pairs(pats, hs, ci=False):
     return pids, ends
 
 
-@pytest.mark.parametrize("count,ci", [(150, False), (400, True)])
+@pytest.mark.parametrize("count,ci", [
+    (150, False),
+    pytest.param(400, True,
+                 marks=pytest.mark.slow),  # default keeps 150/False
+])
 @pytest.mark.parametrize("device_verify", [True, False])
 def test_match_pairs_vs_oracle(count, ci, device_verify, monkeypatch):
     from ahocorasick_tpu.ops import fingerprint as F
@@ -230,3 +234,52 @@ def test_plan_ladder_starts_cheap_dict1k():
     eng = FingerprintEngine(build_dictionary(), True)
     assert eng.level == 0
     assert eng.tables.k <= 8, (eng.tables.k, eng.tables.num_buckets)
+
+
+def test_device_verify_window_covers_class4_tails(monkeypatch):
+    """Regression: a class-4 pattern (length 5-7) occupies window
+    columns [4, 4 + len) — beyond FP_LEN when len > 4 — so DeviceVerify
+    must size W to FP_LEN - class + len, not max(FP_LEN, max_len).
+    With W = 8 the tail compare of "Street" (cols 8-9) was silently
+    truncated and "Streatham" matched (found via the reference's own
+    name-alt1 set over sherlock.txt)."""
+    from ahocorasick_tpu.ops import fingerprint as F
+
+    monkeypatch.setattr(F, "FP_DV_MIN", 0)
+    pats = [b"Sherlock", b"Street"]
+    eng = FingerprintEngine(pats, False)
+    assert eng.dv is not None and eng.dv.W >= 10
+    hs = b"going to Streatham via Baker Street with Sherlock today"
+    pids, ends = eng.match_pairs(hs)
+    epids, eends = _oracle_pairs(pats, hs)
+    assert np.array_equal(ends, eends)
+    assert np.array_equal(pids, epids)
+
+
+def test_plan_buckets_coarsens_past_prefix_budget():
+    """Prefix-diverse sets (the reference's real dictionaries reach
+    11k-15k distinct 4-byte prefixes) must coarsen bucket sizes to fit
+    the limb budget rather than refuse; plans whose finest affordable
+    bucketing is modeled filter-saturated still return None."""
+    import os
+
+    path = ("/root/reference/benchmarks/regexes/dictionary/english/"
+            "sorted.txt")
+    if not os.path.exists(path):
+        pytest.skip("reference dictionary not mounted")
+    dic = [w for w in open(path, "rb").read().split(b"\n") if w]
+    # All length>=5 words: 15,132 distinct 4-byte prefixes — far beyond
+    # the bucket-64 budget at 32 limbs, selective once coarsened
+    # (sorted English prefixes share leading bytes, so coarse buckets
+    # stay narrow; random prefixes would saturate instead).
+    prefixes = sorted({w[:4] for w in dic if len(w) >= 5})
+    assert len(prefixes) > 10_000
+    plan = plan_buckets(prefixes, False, 32)
+    assert plan is not None
+    _, _, K = plan
+    assert K <= 32
+    # The full English dictionary head (many 1-2 byte patterns) is
+    # structurally saturated: every position matches some chain.
+    short = [bytes([c]) for c in b"abcdefghijklmnopqrstuvwxyz"]
+    short += [bytes([a, b]) for a in b"abcdefgh" for b in b"abcdefgh"]
+    assert plan_buckets(short, False, 32) is None

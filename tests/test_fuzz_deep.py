@@ -35,6 +35,14 @@ from ahocorasick_tpu import (
 
 KINDS = [MatchKind.STANDARD, MatchKind.LEFTMOST_FIRST,
          MatchKind.LEFTMOST_LONGEST]
+
+
+def _seeds(n, fast=2):
+    """Seed list with the tail marked slow: every fuzz axis keeps its
+    first `fast` seeds in the default profile; the rest run in the full
+    profile (pytest -m "" tests/)."""
+    return [s if s < fast else pytest.param(s, marks=pytest.mark.slow)
+            for s in range(n)]
 # Case pairs, digits, punctuation, and high bytes (never case-fold).
 WIDE_ALPHA = np.array(
     list(range(0x41, 0x5B)) + list(range(0x61, 0x7B))
@@ -71,7 +79,7 @@ def check(pats, hay, cfg, engine, overlapping=True):
         assert g2 == w2, (len(pats), hay[:40], cfg, engine)
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", _seeds(6))
 def test_fuzz_limb_boundary_lengths(seed):
     """Pattern lengths straddling 32-bit limb boundaries; every engine
     that accepts the set must agree with the oracle."""
@@ -91,9 +99,11 @@ def test_fuzz_limb_boundary_lengths(seed):
 
 @pytest.mark.parametrize("case", [
     # (max single pattern len, n extra pats, engine) at the 2048 edges
-    (2048, 0, "bitap"),    # pattern exactly at MAX_PATTERN_LEN
-    (2049, 0, "auto"),     # one past: bitap ineligible, auto must route
-    (2040, 2, "auto"),     # total chain bytes straddling 32*MAX_LIMBS
+    pytest.param((2048, 0, "bitap"),
+                 marks=pytest.mark.slow),  # exactly at MAX_PATTERN_LEN
+    ((2049, 0, "auto")),   # one past: bitap ineligible, auto must route
+    pytest.param((2040, 2, "auto"),
+                 marks=pytest.mark.slow),  # straddling 32*MAX_LIMBS
 ])
 def test_fuzz_chain_budget_edges(case):
     maxlen, extra, engine = case
@@ -109,7 +119,7 @@ def test_fuzz_chain_budget_edges(case):
           overlapping=False)
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", _seeds(4))
 def test_fuzz_streams_random_chunks(seed):
     """stream_find_iter over random chunk sizes == find_iter offsets
     (standard semantics; the reference forces worst-case chunking with a
@@ -131,7 +141,7 @@ def test_fuzz_streams_random_chunks(seed):
         assert got == want, (chunk, pats)
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", _seeds(6))
 def test_fuzz_anchored_and_spans(seed):
     """Random Input spans crossed with anchored mode vs the oracle's
     anchored walk (automaton.rs:1328-1380 filtering contract)."""
@@ -155,7 +165,7 @@ def test_fuzz_anchored_and_spans(seed):
         assert got == want, (a, b, anch, pats)
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", _seeds(4))
 def test_fuzz_cascade_length_classes(seed):
     """Cascade engine across its length classes (1..4, 8+) and the
     long-pattern (>64B) side engine, full alphabet, planted matches."""
@@ -171,7 +181,7 @@ def test_fuzz_cascade_length_classes(seed):
     check(pats, hay, cfg, "cascade")
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("seed", _seeds(3))
 def test_fuzz_high_bytes_never_case_fold(seed):
     """0x80+ bytes whose low-ASCII projections are case pairs must not
     fold: e.g. 0xC1 vs 0xE1 differ even when 0x41/0x61 fold."""

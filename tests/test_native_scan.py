@@ -64,6 +64,7 @@ def test_native_positions_cap_growth():
     assert first.astuple() == (0, 0, 2)
 
 
+@pytest.mark.slow  # default keeps test_native_count_and_find_match_oracle
 def test_native_leftmost_kinds():
     pats = big_pattern_set(seed=3)
     rng = np.random.default_rng(4)

@@ -177,6 +177,7 @@ def test_sharded_stream_replace_all():
     assert out.getvalue() == want
 
 
+@pytest.mark.slow  # default profile keeps test_sharded_stream_replace_all
 def test_sharded_stream_replace_cross_chunk_and_shard():
     import io
 
@@ -234,6 +235,7 @@ def test_sharded_fingerprint_match_pairs():
     assert len(want) >= 7
 
 
+@pytest.mark.slow  # default profile keeps test_sharded_stream_replace_all
 def test_sharded_searcher_fingerprint_stream_replace():
     import io
     import numpy as np
@@ -350,3 +352,31 @@ def test_sharded_cascade_match_pairs():
     want = _oracle_pairs(ac, h)
     assert list(zip(pids.tolist(), ends.tolist())) == want
     assert len(want) >= 14
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_staged_count(ndev):
+    """Two-stage (prefilter + rescan) count over the mesh must equal
+    the single-chip overlapping count, including matches straddling
+    shard boundaries (halo warmup) and candidate streams."""
+    from ahocorasick_tpu.ops.staged import StagedEngine
+    from ahocorasick_tpu.parallel.shard import sharded_staged_count
+
+    random.seed(11)
+    pats = [b"needle", b"haystack", b"sherlock"]
+    n = 60000
+    h = bytearray(
+        "".join(random.choice("xyzw ") for _ in range(n)).encode()
+    )
+    shard = -(-n // ndev)
+    for i in range(ndev):
+        p = pats[i % len(pats)]
+        pos = min(max(0, i * shard - len(p) // 2), n - len(p))
+        h[pos:pos + len(p)] = p
+    h = bytes(h)
+    ac = AhoCorasick([p.decode() for p in pats])
+    want = total_overlapping(ac, h)
+    assert want >= ndev - 1
+    eng = StagedEngine(pats, False)
+    got = sharded_staged_count(eng, h, make_mesh(ndev))
+    assert got == want
