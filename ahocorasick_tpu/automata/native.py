@@ -214,16 +214,19 @@ def compile_native(patterns: List[bytes], match_kind_idx: int,
         ctypes.byref(sizes),
     )
     try:
+        # np.empty: every array is fully overwritten by ac_copy, and
+        # the zero-fill pass alone costs ~15 ms of page-touch time on
+        # the 100k-pattern build (~50 MB of outputs).
         n = sizes.num_states
-        fail = np.zeros(n, np.int32)
-        depth = np.zeros(n, np.int32)
-        match_starts = np.zeros(n + 1, np.int32)
-        match_pids = np.zeros(sizes.match_nnz, np.int32)
-        trans_starts = np.zeros(n + 1, np.int32)
-        trans_bytes = np.zeros(sizes.trans_nnz, np.uint8)
-        trans_next = np.zeros(sizes.trans_nnz, np.int32)
-        classes = np.zeros(256, np.uint8)
-        pattern_lens = np.zeros(len(patterns), np.int32)
+        fail = np.empty(n, np.int32)
+        depth = np.empty(n, np.int32)
+        match_starts = np.empty(n + 1, np.int32)
+        match_pids = np.empty(sizes.match_nnz, np.int32)
+        trans_starts = np.empty(n + 1, np.int32)
+        trans_bytes = np.empty(sizes.trans_nnz, np.uint8)
+        trans_next = np.empty(sizes.trans_nnz, np.int32)
+        classes = np.empty(256, np.uint8)
+        pattern_lens = np.empty(len(patterns), np.int32)
         lib.ac_copy(
             handle,
             fail.ctypes.data,

@@ -92,9 +92,15 @@ LONG = 0                # class id for patterns longer than KEY_LEN bytes
 KEY_LEN = 8             # exact-key bytes (two int32 words)
 # Coarse plan ladder: limb budgets; escalation refines prefix buckets.
 CASCADE_LEVELS = (10, 16, 24, 32)
-# Candidate / expansion hostility bounds (fractions of n).
-CAND_SHIFT = 4          # > n/16 candidates: filter-hostile
-EXP_SHIFT = 4           # > n/16 expanded compare rows: group-hostile
+# Candidate / expansion hostility bounds (fractions of n). Measured on
+# the reference's real 43k-word length-10 dictionary over opensubtitles
+# text (3.1% coarse candidates, 3.4% expansion rows): the per-candidate
+# probe/expand stages are gather-latency-bound at ~50-100 ns/candidate,
+# which put the device pipeline at 0.23 GB/s where the native walk did
+# 0.43 — so the bound sits at 1.6%, where the device path still wins
+# by a wide margin, and denser workloads fall back to the host walk.
+CAND_SHIFT = 6          # > n/64 candidates: filter-hostile
+EXP_SHIFT = 6           # > n/64 expanded compare rows: group-hostile
 CAND_FLOOR = 1 << 16
 # Below this haystack size the facade's host paths win; the engine still
 # functions (tests force it) but starts with small caps.

@@ -443,14 +443,46 @@ def bench_dict_english(jax, jnp):
            .read().split(b"\n") if w]
     n = 1 << 24
     hs = (hay * (-(-n // len(hay))))[:n]
+    # PRODUCTION routing check: this workload is candidate-dense on
+    # real English text (3.1% coarse candidates > the n/64 hostile
+    # bound), so the auto route must declare the cascade hostile and
+    # use the native walk. The device timing below is therefore a
+    # FORCED-engine row (bounds widened for the measurement) — it
+    # documents the measured device-side bound, not the production
+    # path.
+    import ahocorasick_tpu.ops.cascade as C
+
+    probe_eng = CascadeEngine(l10, False)
+    probe_eng._caps = {"c": 1 << 19, "e": 1 << 20}
+    # Pin the plan level so the hostility probe doesn't pay escalation
+    # recompiles (finer plans don't reduce this workload's candidates —
+    # measured 3.07% -> 2.94% across the whole ladder).
+    for lvl in range(probe_eng.level + 1, len(C.CASCADE_LEVELS)):
+        probe_eng._tables_cache[lvl] = None
+    assert probe_eng.count_matches(hs) is None and probe_eng.hostile, \
+        "l10 on English text should be cascade-hostile in production"
+    old_bounds = C.CAND_SHIFT, C.EXP_SHIFT
+    C.CAND_SHIFT = C.EXP_SHIFT = 2
     eng = CascadeEngine(l10, False)
-    # Pre-seed the adaptive caps (measured on this corpus: ~143k coarse
-    # candidates at q=8, ~570k expansion rows, ~29k matches per 16 MiB)
+    # Pre-seed the adaptive caps (measured on this corpus: ~500k coarse
+    # candidates at q=8, ~570k expansion rows, ~51k matches per 16 MiB)
     # so the first dispatch compiles at the settled shapes instead of
     # paying several cap-escalation recompiles through the tunnel.
-    eng._caps = {"c": 1 << 18, "e": 1 << 20, "m": 1 << 16}
+    eng._caps = {"c": 1 << 19, "e": 1 << 20, "m": 1 << 18}
     ph = eng.prepare(hs)
     got = eng.count_matches(ph)
+    # The production host alternative on the same shape, for context:
+    # a 43k-word automaton is ~130 MB of transitions, so the walk is
+    # DRAM-latency-bound like the 123k row.
+    acn = AhoCorasick(l10, device_threshold=1 << 62)
+    best_n = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acn.count_matches(hs)
+        best_n = min(best_n, time.perf_counter() - t0)
+    l10_native = n / best_n / 1e9
+    log(f"dict-english-l10: native walk {best_n*1e3:.1f} ms "
+        f"({l10_native:.3f} GB/s)")
     wp, we = native_overlapping_pairs(l10, hs, False)
     assert got == len(wp), (got, len(wp))
     gp, ge = eng.match_pairs(ph)
@@ -483,7 +515,8 @@ def bench_dict_english(jax, jnp):
     chained_e = make_chained(jax, jnp, call_e, body_idx=1)
     per_e = slope_time(jax, chained_e, (ph.halo_a, ph.body, ph.u8f),
                        lambda r: None, r_hi=12, label="dict-l10-extract")
-    return full_gbps, n / per / 1e9, n / per_e / 1e9
+    C.CAND_SHIFT, C.EXP_SHIFT = old_bounds
+    return full_gbps, n / per / 1e9, n / per_e / 1e9, l10_native
 
 
 # Two syllable pools: dictionary entries (name-like) vs prose filler —
@@ -545,13 +578,17 @@ def bench_fp_count(jax, jnp, pats, hs, expect, ci, label):
 
     eng = F.FingerprintEngine(pats, ci)
     assert eng.dv is not None, "device verify must be available"
-    t = eng.tables
     ph = eng.prepare(hs)
     got = eng.count_matches(ph)
     assert got == expect, (got, expect)
     cap_c, _ = eng.last_caps
-    log(f"{label}: buckets={t.num_buckets} K={t.k} W={eng.dv.W} "
-        f"cap_c={cap_c}")
+    # Bind the tables AFTER the adaptive count: candidate-dense inputs
+    # escalate the plan level (dict15 goes K=6 -> 11), and timing the
+    # pre-escalation tables at the settled cap overflows the candidate
+    # select and undercounts.
+    t = eng.tables
+    log(f"{label}: buckets={t.num_buckets} K={t.k} level={eng.level} "
+        f"W={eng.dv.W} cap_c={cap_c}")
     fn = F._fp_verified_jit(
         t.baked_key(), eng.dv.key(), t.k, ph.L, ph.Lc, eng.halo,
         ph.tiles, eng.dv.W, False,
@@ -681,6 +718,8 @@ def main():
                     deng[1] if deng else None),
                 "dict_english_l10_extract_gbps": rnd(
                     deng[2] if deng else None),
+                "dict_english_l10_native_gbps": rnd(
+                    deng[3] if deng else None),
                 "sherlock_realcorpus_us": rnd(sher[0] if sher else None),
                 "sherlock_realcorpus_gbps": rnd(sher[1] if sher else None),
                 "ref_sherlock_realcorpus_us": 11.67,
