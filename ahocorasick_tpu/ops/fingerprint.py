@@ -1221,9 +1221,15 @@ class FingerprintEngine:
         # Caps persist per engine instance (grown monotonically): once
         # the first scan settles them, repeated searches run one
         # dispatch — a match-dense input no longer pays 2-3 full scans
-        # on every call.
-        cap_c = max(self._caps.get("c", 0), 8192)
-        cap_m = max(self._caps.get("m", 0), 8192)
+        # on every call. The STARTING floor scales with n: the
+        # rank-select/window/verify stages cost ~29 ns per cap slot
+        # whether or not the slot holds a real candidate (measured,
+        # experiments/fp_floor.py: a fixed cap of 8192 put a 282 us
+        # floor under every sub-MiB scan — 1.86 GB/s at 512 KiB where
+        # cap 512 runs the same pipeline at 11.8 GB/s).
+        floor = min(8192, max(512, _pow2(n >> 8)))
+        cap_c = max(self._caps.get("c", 0), floor)
+        cap_m = max(self._caps.get("m", 0), floor)
         nn = jnp.asarray([0, n], jnp.int32)
         while True:
             t = self.tables
@@ -1288,7 +1294,7 @@ class FingerprintEngine:
         halo_a, body = ph.halo_a, ph.body
         limit = self._hostile_limit(n)
         esc = self._escalate_limit(n)
-        cap = 4096
+        cap = min(4096, max(512, _pow2(n >> 8)))
         while True:
             t = self.tables
             if baked:
