@@ -317,10 +317,15 @@ def suite_realcorpus():
         return
     sher = open(f"{base}/sherlock.txt", "rb").read()
     subs = open(f"{base}/opensubtitles/en-sampled.txt", "rb").read()
+    # Reference medians: sherlock rows from record/x86_64/2023-09-17.csv
+    # sherlock/name-alt*; the en-sampled rows from the same CSV's
+    # regexcurated/{alt-,}sherlock[-casei]-en default/leftmost-first.
     rows = [
-        ("name-alt1", [b"Sherlock", b"Street"], sher, 11.67),
-        ("name-alt2", [b"Sherlock", b"Holmes"], sher, 32.51),
-        ("subs-en-names", SHERLOCK, subs, None),
+        ("name-alt1", [b"Sherlock", b"Street"], sher, 11.67, False),
+        ("name-alt2", [b"Sherlock", b"Holmes"], sher, 32.51, False),
+        ("alt-sherlock-en", SHERLOCK, subs, 74.01, False),
+        ("sherlock-en", [b"Sherlock Holmes"], subs, 30.05, False),
+        ("sherlock-casei-en", [b"Sherlock Holmes"], subs, 72.88, True),
     ]
     from ahocorasick_tpu.ops import bitap as B
     import functools
@@ -328,11 +333,19 @@ def suite_realcorpus():
     import jax
     import jax.numpy as jnp
 
-    for name, pats, hay, ref_us in rows:
+    from bench import host_count
+
+    def _fold(b):
+        return bytes(x | 0x20 if 0x41 <= x <= 0x5A else x for x in b)
+
+    for name, pats, hay, ref_us, ci in rows:
         n = len(hay)
-        eng = B.BitapEngine(pats, False)
+        eng = B.BitapEngine(pats, ci)
         ph = eng.prepare(hay, baked=True)  # pinned corpus: baked kernel
         want = eng.count_matches(ph)
+        want_host = (host_count([_fold(p) for p in pats], _fold(hay))
+                     if ci else host_count(pats, hay))
+        assert want == want_host, (name, want, want_host)
         fn = B._baked_jit(eng.tables.baked_key(), eng.tables.k, ph.L,
                           ph.Lc, eng.halo, ph.tiles, False)
 
@@ -548,7 +561,28 @@ def suite_dict_english():
 
 
 def suite_build():
+    import os
+
     from ahocorasick_tpu.automata.noncontiguous import compile_nfa
+
+    # The reference's own recorded build rows on its real word lists
+    # (record/x86_64/2023-09-07.csv build/words5000, build/words15000;
+    # default/leftmost-first medians on its 2023 x86_64 desktop).
+    refbase = "/root/reference/benchmarks/regexes"
+    for fname, ref_ms in (("words-5000", 2.93), ("words-15000", 9.00)):
+        path = f"{refbase}/{fname}"
+        if not os.path.exists(path):
+            continue
+        pats = [w for w in open(path, "rb").read().split(b"\n") if w]
+        compile_nfa(pats[:50], builder="native")  # warm the library
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            nfa = compile_nfa(pats, builder="native")
+            best = min(best, time.perf_counter() - t0)
+        emit(suite="build", builder="native", config=fname,
+             patterns=len(pats), states=nfa.num_states,
+             ms=round(best * 1e3, 2), ref_default_ms=ref_ms)
 
     rng = np.random.default_rng(3)
     for npat in (5, 1000, 100_000):
