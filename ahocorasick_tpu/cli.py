@@ -48,7 +48,7 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--engine",
         choices=["auto", "oracle", "device-only", "bitap", "fingerprint",
-                 "dfa-scan"],
+                 "cascade", "dfa-scan"],
         default="auto",
     )
     ap.add_argument("--count-only", action="store_true",

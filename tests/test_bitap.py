@@ -189,3 +189,31 @@ def test_tables_factorization_exact():
         for b in range(256):
             got = lo[:, b & 15] & hi[:, b >> 4]
             assert (got == cm[b]).all(), (b, got, cm[b])
+
+
+def test_layout_search_properties():
+    """Layout invariants: coverage, bounded padding waste, pow2 L, and
+    unchanged large-scan packing (the 64 MiB headline must stay at
+    L=2048 x 32 tiles)."""
+    from ahocorasick_tpu.ops.bitap import (
+        LANES, _layout_search, _round_tiles,
+    )
+
+    for need in list(range(1, 70)) + [100, 1000, 12345]:
+        t = _round_tiles(need)
+        assert t >= need
+        assert (t - need) / need <= 1 / 8 or need <= 8
+    for n in (1 << 17, 594915, 899232, 1 << 20, 1570556, 1 << 22,
+              1 << 26, (1 << 26) + 5):
+        for H in (8, 64, 256):
+            L, tiles = _layout_search(n, H)
+            assert L & (L - 1) == 0 and L >= max(128, H)
+            assert tiles * LANES * L >= n  # coverage
+            # padding + halo waste bounded: never worse than the old
+            # pure-pow2 packing at L=2048
+            old = 2048 * max(
+                1, 1 << (max(-(-n // (LANES * 2048)) - 1, 0).bit_length())
+            ) * LANES
+            assert tiles * LANES * (L + H) <= old + old // 2
+    L, tiles = _layout_search(1 << 26, 8)
+    assert (L, tiles) == (2048, 32)
