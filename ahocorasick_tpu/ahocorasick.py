@@ -33,17 +33,17 @@ others the noncontiguous CSR arrays.
 from __future__ import annotations
 
 import enum
-from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Union
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
 
 from . import oracle, semantics
 from .utils import log
-from .automata.dfa import DenseDFA, build_dfa
-from .automata.noncontiguous import NFA, compile_nfa, patterns_to_bytes
+from .automata.dfa import build_dfa
+from .automata.noncontiguous import compile_nfa, patterns_to_bytes
 from .ops.bitap import BitapEngine
 from .ops.block_scan import DeviceAutomaton
-from .utils.errors import BuildError, MatchError
+from .utils.errors import MatchError
 from .utils.search import (
     Anchored,
     BytesLike,

@@ -45,7 +45,7 @@ from __future__ import annotations
 
 import dataclasses
 from collections import deque
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence
 
 import numpy as np
 

@@ -37,8 +37,6 @@ non-overlapping) are then O(#matches) filters — see semantics.py.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -24,7 +24,7 @@ from __future__ import annotations
 from typing import Iterator, List, Optional
 
 from .automata.noncontiguous import NFA
-from .utils.search import Anchored, Input, Match, MatchKind
+from .utils.search import Input, Match
 
 
 def _get_match(nfa: NFA, sid: int, index: int, at: int) -> Match:

@@ -35,8 +35,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.search import Match, MatchKind
-
 BUCKETS = 8
 MAX_FINGERPRINT = 4
 

@@ -456,7 +456,7 @@ def sharded_fp_match_pairs(
     shard's own positions) and compacts its candidate words on device;
     the gathered candidate positions verify exactly against the full
     haystack. Returns None when the workload is filter-hostile."""
-    from ..ops.bitap import LANES, R as R_SUB, _to_stream_major, _pow2
+    from ..ops.bitap import LANES, _to_stream_major, _pow2
     from ..ops import fingerprint as F
 
     if mesh is None:

@@ -30,7 +30,7 @@ back to the oracle, whose walk defines the reference behavior).
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 

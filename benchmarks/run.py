@@ -328,7 +328,6 @@ def suite_realcorpus():
         ("sherlock-casei-en", [b"Sherlock Holmes"], subs, 72.88, True),
     ]
     from ahocorasick_tpu.ops import bitap as B
-    import functools
 
     import jax
     import jax.numpy as jnp
@@ -388,7 +387,6 @@ def _count_extract_rows(suite, name, pats, hay, ref_us, r_lo=256,
 
     from bench import brute_pairs, host_count, make_chained
     from ahocorasick_tpu.ops import bitap as B
-    from ahocorasick_tpu.ops.bitap import _pow2
 
     n = len(hay)
     want = host_count(pats, hay)
